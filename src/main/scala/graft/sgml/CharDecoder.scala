@@ -1,0 +1,53 @@
+package graft.sgml
+
+import java.nio.charset.{Charset, StandardCharsets}
+
+/** Byte-stream → char-stream decoding with encoding sniffing.
+  *
+  * Reference: `utf8.c — utf8_get_char`; `parser.c — XML-declaration
+  * handling` (BOM for UTF-8/UTF-16, `<?xml encoding=…?>`, SGML Latin-1
+  * default, XML UTF-8 default) [V]. Used by the raw-ingestion path
+  * (`binaryFile` source); parquet `string` columns are already decoded.
+  */
+object CharDecoder {
+
+  final case class Decoded(text: String, charset: String, bomBytes: Int)
+
+  def decode(bytes: Array[Byte], dialect: Dialect): Decoded = {
+    // 1. BOM sniff
+    if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF &&
+        (bytes(1) & 0xFF) == 0xBB && (bytes(2) & 0xFF) == 0xBF)
+      return Decoded(new String(bytes, 3, bytes.length - 3, StandardCharsets.UTF_8), "UTF-8", 3)
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFE && (bytes(1) & 0xFF) == 0xFF)
+      return Decoded(new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16BE), "UTF-16BE", 2)
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xFE)
+      return Decoded(new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16LE), "UTF-16LE", 2)
+
+    // 2. `<?xml … encoding="…"?>` sniff on the ASCII prefix
+    val probeLen = math.min(bytes.length, 256)
+    val probe = new String(bytes, 0, probeLen, StandardCharsets.ISO_8859_1)
+    val enc = sniffXmlDeclEncoding(probe)
+    val cs = enc.flatMap { e =>
+      try Some(Charset.forName(e)) catch { case _: Exception => None }
+    }.getOrElse {
+      // 3. dialect default: XML → UTF-8, SGML/HTML → Latin-1
+      if (dialect.xmlSyntax) StandardCharsets.UTF_8 else StandardCharsets.ISO_8859_1
+    }
+    Decoded(new String(bytes, cs), cs.name(), 0)
+  }
+
+  private[sgml] def sniffXmlDeclEncoding(probe: String): Option[String] = {
+    if (!probe.startsWith("<?xml")) return None
+    val end = probe.indexOf("?>")
+    val decl = if (end > 0) probe.substring(0, end) else probe
+    val i = decl.indexOf("encoding")
+    if (i < 0) return None
+    var j = i + 8
+    while (j < decl.length && (decl.charAt(j) == '=' || decl.charAt(j).isWhitespace)) j += 1
+    if (j >= decl.length) return None
+    val q = decl.charAt(j)
+    if (q != '"' && q != '\'') return None
+    val k = decl.indexOf(q, j + 1)
+    if (k < 0) None else Some(decl.substring(j + 1, k))
+  }
+}

@@ -1,0 +1,313 @@
+package graft.sgml
+
+import scala.collection.mutable
+
+/** DTD data structures + content-model DFA.
+  *
+  * Reference: `dtd.h` — struct dtd / dtd_element / dtd_edef / dtd_attr /
+  * dtd_entity, modelcard/modeltype enums, omit flags [V]; `model.c` —
+  * make_state_engine: content-model group → finite-state engine, compiled
+  * lazily once per element and cached [V]. We compile with the Glushkov
+  * construction and cache it on the element definition; the `Dtd` value is
+  * immutable and broadcast-friendly (built once per executor, never per
+  * doc — SURVEY.md §4).
+  */
+
+/** Content-model expression (`dtd.h — model groups with , & | connectors
+  * and ? * + cardinality` [V]). */
+sealed trait Model
+object Model {
+  case object PcData extends Model                      // #PCDATA
+  final case class Ref(name: String) extends Model      // element name
+  final case class MSeq(ms: List[Model]) extends Model  // a , b
+  final case class Alt(ms: List[Model]) extends Model   // a | b
+  /** SGML AND-group `a & b` — accepted leniently as `(a|b)*` with the
+    * member set preserved for containability (documented approximation;
+    * HTML's DTD barely uses `&` and span output is unaffected). */
+  final case class All(ms: List[Model]) extends Model
+  final case class Opt(m: Model) extends Model          // m?
+  final case class Star(m: Model) extends Model         // m*
+  final case class Plus(m: Model) extends Model         // m+
+}
+
+/** Declared content kind (`dtd.h — content types C_EMPTY/C_CDATA/C_RCDATA/
+  * C_ANY` [V]). */
+sealed trait ContentKind
+object ContentKind {
+  case object Empty extends ContentKind
+  case object Cdata extends ContentKind   // literal until matching end tag
+  case object Rcdata extends ContentKind  // literal but entities expand
+  case object Any extends ContentKind
+  final case class Modelled(model: Model) extends ContentKind
+}
+
+/** Attribute type (`dtd.h — attrtype enum AT_*` [V]). */
+sealed trait AttrType { def tokenized: Boolean = true }
+object AttrType {
+  case object TCdata extends AttrType { override def tokenized = false }
+  case object TId extends AttrType
+  case object TIdRef extends AttrType
+  case object TIdRefs extends AttrType
+  case object TName extends AttrType
+  case object TNames extends AttrType
+  case object TNmToken extends AttrType
+  case object TNmTokens extends AttrType
+  case object TNumber extends AttrType
+  case object TNumbers extends AttrType
+  case object TNuToken extends AttrType
+  case object TNuTokens extends AttrType
+  final case class TNotation(values: Set[String]) extends AttrType
+  final case class TEnum(values: Set[String]) extends AttrType
+
+  def isList(t: AttrType): Boolean = t match {
+    case TIdRefs | TNames | TNmTokens | TNumbers | TNuTokens => true
+    case _ => false
+  }
+}
+
+/** Attribute default (`dtd.h — attrdef enum: #REQUIRED #IMPLIED #FIXED
+  * #CURRENT #CONREF / literal` [V]). */
+sealed trait AttrDefault
+object AttrDefault {
+  case object Required extends AttrDefault
+  case object Implied extends AttrDefault
+  case object Current extends AttrDefault
+  case object Conref extends AttrDefault
+  final case class Fixed(v: String) extends AttrDefault
+  final case class Value(v: String) extends AttrDefault
+}
+
+final case class AttrDecl(name: String, tpe: AttrType, default: AttrDefault)
+
+/** Element definition with SGML omission flags (`dtd.h — dtd_edef omit
+  * flags` [V]) and inclusion/exclusion exceptions (`+(X)` / `-(X)`). */
+final case class ElementDef(
+    name: String,
+    omitStart: Boolean,
+    omitEnd: Boolean,
+    content: ContentKind,
+    inclusions: Set[String] = Set.empty,
+    exclusions: Set[String] = Set.empty,
+    attrs: Map[String, AttrDecl] = Map.empty) {
+
+  /** Compiled once and cached — mirrors `model.c`'s per-element state-engine
+    * cache [V]. */
+  lazy val dfa: Option[Dfa] = content match {
+    case ContentKind.Modelled(m) => Some(Dfa.compile(m))
+    case _                       => None
+  }
+
+  /** Names this element's model can ever contain (omitted-tag repair). */
+  lazy val containable: Set[String] = content match {
+    case ContentKind.Modelled(m) => Dfa.symbols(m)
+    case ContentKind.Any         => Set.empty // ANY: handled as accept-all
+    case _                       => Set.empty
+  }
+
+  /** Does the content model admit character data? */
+  lazy val mixed: Boolean = content match {
+    case ContentKind.Modelled(m) => Dfa.hasPcData(m)
+    case ContentKind.Empty       => false
+    case _                       => true
+  }
+}
+
+/** Immutable DTD — element map + entity tables (`dtd.h — struct dtd` [V]). */
+final case class Dtd(
+    doctype: Option[String],
+    elements: Map[String, ElementDef],
+    entities: Map[String, String],       // general entities → replacement text
+    paramEntities: Map[String, String]) {
+
+  def element(name: String): Option[ElementDef] = elements.get(name)
+
+  /** Merge: `this` takes priority for doctype; for declarations SGML keeps
+    * the FIRST declaration seen, so existing entries in `this` win. */
+  def merge(other: Dtd): Dtd = Dtd(
+    doctype.orElse(other.doctype),
+    other.elements ++ elements,
+    other.entities ++ entities,
+    other.paramEntities ++ paramEntities)
+}
+
+object Dtd {
+  val empty: Dtd = Dtd(None, Map.empty, Map.empty, Map.empty)
+}
+
+/** Mutable holder shared by Tokenizer and TreeBuilder: a `<!DOCTYPE … [ … ]>`
+  * internal subset updates the DTD mid-parse (`sgml.pl — dtd/2`;
+  * `parser.c — declaration mode` [V]). */
+final class DtdHolder(var dtd: Dtd)
+
+/** Glushkov automaton over child-element names. Immutable; per-element
+  * runs live in [[DfaRun]]. Spark-side analogue of `model.c —
+  * make_state_engine` [V]. */
+final class Dfa private[sgml] (
+    val nullable: Boolean,
+    val first: Array[Int],
+    private val lastBits: Array[Boolean],
+    val follow: Array[Array[Int]],
+    val symOf: Array[String]) {
+
+  def isLast(p: Int): Boolean = lastBits(p)
+  def size: Int = symOf.length
+}
+
+object Dfa {
+  import Model._
+
+  /** All element names mentioned in a model. */
+  def symbols(m: Model): Set[String] = m match {
+    case PcData   => Set.empty
+    case Ref(n)   => Set(n)
+    case MSeq(ms) => ms.flatMap(symbols).toSet
+    case Alt(ms)  => ms.flatMap(symbols).toSet
+    case All(ms)  => ms.flatMap(symbols).toSet
+    case Opt(x)   => symbols(x)
+    case Star(x)  => symbols(x)
+    case Plus(x)  => symbols(x)
+  }
+
+  def hasPcData(m: Model): Boolean = m match {
+    case PcData   => true
+    case Ref(_)   => false
+    case MSeq(ms) => ms.exists(hasPcData)
+    case Alt(ms)  => ms.exists(hasPcData)
+    case All(ms)  => ms.exists(hasPcData)
+    case Opt(x)   => hasPcData(x)
+    case Star(x)  => hasPcData(x)
+    case Plus(x)  => hasPcData(x)
+  }
+
+  private final case class RefP(name: String, pos: Int) extends Model
+
+  /** Glushkov construction: positions / nullable / first / last / follow.
+    * `&`-groups normalize to `(a|b|…)*`; #PCDATA leaves are dropped (text
+    * admission is checked via `ElementDef.mixed`). */
+  def compile(model: Model): Dfa = {
+    def norm(m: Model): Option[Model] = m match {
+      case PcData  => None
+      case r: Ref  => Some(r)
+      case MSeq(ms) =>
+        val ns = ms.flatMap(norm)
+        if (ns.isEmpty) None
+        else if (ns.size == 1) Some(ns.head) else Some(MSeq(ns))
+      case Alt(ms) =>
+        val ns = ms.flatMap(norm)
+        val hadPc = ms.exists { case PcData => true; case _ => false }
+        if (ns.isEmpty) None
+        else {
+          val alt = if (ns.size == 1) ns.head else Alt(ns)
+          // mixed groups (#PCDATA|a|b) are inherently repeatable in SGML
+          if (hadPc) Some(Star(alt)) else Some(alt)
+        }
+      case All(ms) =>
+        val ns = ms.flatMap(norm)
+        if (ns.isEmpty) None
+        else Some(Star(if (ns.size == 1) ns.head else Alt(ns)))
+      case Opt(x)  => norm(x).map(Opt(_))
+      case Star(x) => norm(x).map(Star(_))
+      case Plus(x) => norm(x).map(Plus(_))
+    }
+
+    norm(model) match {
+      case None =>
+        new Dfa(true, Array.empty, Array.empty, Array.empty, Array.empty)
+      case Some(m0) =>
+        val syms = mutable.ArrayBuffer.empty[String]
+        def number(mm: Model): Model = mm match {
+          case Ref(n)   => syms += n; RefP(n, syms.size - 1)
+          case MSeq(ms) => MSeq(ms.map(number))
+          case Alt(ms)  => Alt(ms.map(number))
+          case Opt(x)   => Opt(number(x))
+          case Star(x)  => Star(number(x))
+          case Plus(x)  => Plus(number(x))
+          case other    => other
+        }
+        val nm = number(m0)
+        val n = syms.size
+        val follow = Array.fill(n)(mutable.LinkedHashSet.empty[Int])
+
+        final case class G(nullable: Boolean, first: Set[Int], last: Set[Int])
+        def go(mm: Model): G = mm match {
+          case RefP(_, p) => G(nullable = false, Set(p), Set(p))
+          case MSeq(ms) =>
+            ms.map(go).reduceLeft { (a, b) =>
+              a.last.foreach(p => follow(p) ++= b.first)
+              G(a.nullable && b.nullable,
+                if (a.nullable) a.first ++ b.first else a.first,
+                if (b.nullable) a.last ++ b.last else b.last)
+            }
+          case Alt(ms) =>
+            ms.map(go).reduceLeft { (a, b) =>
+              G(a.nullable || b.nullable, a.first ++ b.first, a.last ++ b.last)
+            }
+          case Opt(x) => val g = go(x); G(nullable = true, g.first, g.last)
+          case Star(x) =>
+            val g = go(x)
+            g.last.foreach(p => follow(p) ++= g.first)
+            G(nullable = true, g.first, g.last)
+          case Plus(x) =>
+            val g = go(x)
+            g.last.foreach(p => follow(p) ++= g.first)
+            G(g.nullable, g.first, g.last)
+          case _ => throw new IllegalStateException("normalized away: " + mm)
+        }
+        val g = go(nm)
+        val lastBits = Array.fill(n)(false)
+        g.last.foreach(p => lastBits(p) = true)
+        new Dfa(g.nullable, g.first.toArray.sorted, lastBits,
+          follow.map(_.toArray.sorted), syms.toArray)
+    }
+  }
+}
+
+/** A running automaton for one open element: tracks candidate positions and
+  * completeness. One per TreeBuilder stack frame; cheap. */
+final class DfaRun(val dfa: Dfa) {
+  /** Positions the next child may match. */
+  private var candidates: Array[Int] = dfa.first
+  private var complete: Boolean = dfa.nullable
+
+  /** Try to consume a child element name; false = not allowed here. */
+  def step(sym: String): Boolean = {
+    var matchedLast = false
+    val next = mutable.LinkedHashSet.empty[Int]
+    var any = false
+    var i = 0
+    while (i < candidates.length) {
+      val p = candidates(i)
+      if (dfa.symOf(p) == sym) {
+        any = true
+        if (dfa.isLast(p)) matchedLast = true
+        next ++= dfa.follow(p)
+      }
+      i += 1
+    }
+    if (!any) false
+    else {
+      candidates = next.toArray
+      complete = matchedLast
+      true
+    }
+  }
+
+  /** Would `step(sym)` succeed, without consuming? */
+  def canStep(sym: String): Boolean = {
+    var i = 0
+    while (i < candidates.length) {
+      if (dfa.symOf(candidates(i)) == sym) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Names currently enabled (for omitted-open-tag insertion search). */
+  def enabledSymbols: Iterator[String] = {
+    val seen = mutable.LinkedHashSet.empty[String]
+    candidates.foreach(p => seen += dfa.symOf(p))
+    seen.iterator
+  }
+
+  def isComplete: Boolean = complete
+}

@@ -1,0 +1,499 @@
+package graft.sgml
+
+import scala.collection.mutable
+
+/** Event-stream → DOM fold with DTD-driven structural repair.
+  *
+  * Reference anchors (all [V], SURVEY.md §2.3):
+  * - D2 validation: `parser.c — complete()/element transition via model.c`
+  * - D3 omitted-tag inference: `parser.c — open_element / find omitted
+  *   path; dtd.h — omit flags in dtd_edef` — the core of HTML leniency:
+  *   a child that fits no DFA transition auto-closes open elements with
+  *   omit-end flags (`<li>` implies `</li>`) or inserts omit-start
+  *   elements (`<tbody>`).
+  * - D4 EMPTY/self-closing immediate close
+  * - D5 DOM fold: `sgml2pl.c — environment stack, term build`
+  * - D6 whitespace policy: `parser.c — add_cdata / space(...) option`
+  * - D7 namespaces: `xmlns.c — xmlns_push/xmlns_find/update_xmlns`
+  * - D8 error recovery: `error.c — gripe` (errors accumulate, parse
+  *   continues; a poisoned doc yields error rows, never a failed task)
+  */
+final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
+
+  private final class Frame(
+      val name: String,
+      val attrs: List[Attr],
+      val off: Int,
+      val edef: Option[ElementDef],
+      val dfa: Option[DfaRun],
+      val exclusions: Set[String],
+      val inclusions: Set[String],
+      val nsScope: Map[String, String],   // prefix → uri ("" = default)
+      val spacePreserve: Boolean) {
+    val children = new mutable.ArrayBuffer[Node](4)
+    var sawText = false
+  }
+
+  // virtual root frame: accepts anything
+  private val root = new Frame("", Nil, 0, None, None, Set.empty, Set.empty,
+    Map.empty, cfg.space == SpaceMode.Preserve || cfg.space == SpaceMode.Strict)
+  private val stack = new mutable.ArrayBuffer[Frame](16)
+  stack += root
+
+  private def top: Frame = stack(stack.size - 1)
+
+  def accept(ev: Event): Unit = {
+    if (log.overflowed) return
+    ev match {
+      case Event.Open(n, as, sc, off) => onOpen(n, as, sc, off)
+      case Event.Close(n, off)        => onClose(n, off)
+      case Event.Text(s, raw, off)    => onText(s, raw, off)
+      case Event.Pi(s, off)           => addChild(Node.Pi(s, off))
+      case Event.EntityRef(n, off)    => addChild(Node.EntityRef(n, off))
+      case Event.Media(ref, off)      => addChild(Node.Media(ref, off))
+      case Event.Decl(s, off)         => onDecl(s, off)
+      case Event.Err(code, off, d)    => log.add(code, off, d)
+    }
+  }
+
+  /** Close remaining elements and return the document content. */
+  def finish(): Vector[Node] = {
+    while (stack.size > 1) {
+      val f = top
+      if (f.edef.forall(!_.omitEnd))
+        log.add("unclosed-element", f.off, f.name)
+      popFrame()
+    }
+    root.children.toVector
+  }
+
+  // ----------------------------------------------------------- open/close
+
+  private def onOpen(rawName: String, rawAttrs: List[RawAttr],
+      selfClosing: Boolean, off: Int): Unit = {
+    // 1. namespace scope from xmlns attrs (D7); name qualification
+    var scope = top.nsScope
+    if (cfg.dialect.namespaces) {
+      rawAttrs.foreach { a =>
+        if (a.name == "xmlns")
+          scope = scope.updated("", a.value.getOrElse(""))
+        else if (a.name.startsWith("xmlns:"))
+          scope = scope.updated(a.name.substring(6), a.value.getOrElse(""))
+      }
+    }
+    val name = qualify(rawName, scope, isAttr = false)
+
+    // 2. typed attribute values + defaulting (T4/T5)
+    val edef = holder.dtd.element(if (cfg.dialect.namespaces) localOf(rawName) else rawName)
+    val attrs = typedAttrs(rawName, rawAttrs, edef, scope, off)
+
+    // 3. structural repair (D3) — may implicitly close/open elements
+    repairFor(localOf(name), off)
+
+    // 4. advance parent's DFA
+    stepParent(localOf(name), off)
+
+    // 5. push or immediately close (D4)
+    val isEmpty = edef.exists(_.content == ContentKind.Empty)
+    val node = Node.Elem(name, attrs, Vector.empty, off)
+    if (selfClosing || isEmpty) {
+      addChildNode(node)
+    } else {
+      val preserve = xmlSpaceOf(rawAttrs).getOrElse(top.spacePreserve)
+      stack += new Frame(name, attrs, off, edef,
+        edef.flatMap(_.dfa).map(new DfaRun(_)),
+        top.exclusions ++ edef.map(_.exclusions).getOrElse(Set.empty),
+        top.inclusions ++ edef.map(_.inclusions).getOrElse(Set.empty),
+        scope, preserve)
+    }
+  }
+
+  private def onClose(rawName: String, off: Int): Unit = {
+    if (rawName.isEmpty) { // SGML null end tag `</>` closes current
+      if (stack.size > 1) popFrame()
+      else log.add("unmatched-end-tag", off, "</>")
+      return
+    }
+    val local = localOf(qualify(rawName, top.nsScope, isAttr = false))
+    // find matching open element (by local name; ns-qualified match on full)
+    var idx = -1
+    var i = stack.size - 1
+    while (i >= 1 && idx < 0) {
+      if (localOf(stack(i).name) == local) idx = i
+      i -= 1
+    }
+    if (idx < 0) {
+      log.add("unmatched-end-tag", off, rawName)
+      return
+    }
+    // close everything above it (D8: explicit error when end-omission is
+    // not declared — FIXTURES F13 unclosed <b> repaired at </p>)
+    while (stack.size - 1 > idx) {
+      val f = top
+      if (f.edef.forall(!_.omitEnd))
+        log.add("unclosed-element", off, f.name)
+      popFrame()
+    }
+    popFrame()
+  }
+
+  private def popFrame(): Unit = {
+    val f = stack.remove(stack.size - 1)
+    if (cfg.validate) f.dfa.foreach { run =>
+      if (!run.isComplete)
+        log.add("incomplete-content", f.off, f.name)
+    }
+    // SGML whitespace rule: one newline directly before the end tag
+    stripTrailingNewline(f)
+    val parent = top
+    parent.children += Node.Elem(f.name, f.attrs, f.children.toVector, f.off)
+  }
+
+  // --------------------------------------------------------------- repair
+
+  /** Can `frame` directly accept a child element `local`? */
+  private def accepts(f: Frame, local: String): Boolean = {
+    if (f.exclusions.contains(local)) return false
+    if (f.inclusions.contains(local)) return true
+    f.edef match {
+      case None => true // unknown element / no DTD: transparent
+      case Some(ed) => ed.content match {
+        case ContentKind.Any => true
+        case ContentKind.Modelled(_) =>
+          f.dfa.exists(_.canStep(local)) ||
+            // lenient: allow re-entry for repeatable members the DFA lost
+            // track of due to the All-approximation
+            (f.dfa.isEmpty && ed.containable.contains(local))
+        case _ => false // EMPTY/CDATA/RCDATA cannot contain elements
+      }
+    }
+  }
+
+  private def acceptsText(f: Frame, wsOnly: Boolean): Boolean = {
+    f.edef match {
+      case None     => true
+      case Some(ed) => ed.mixed || (wsOnly && ed.content != ContentKind.Empty)
+    }
+  }
+
+  /** D3 — omitted-tag inference: make the top frame able to accept
+    * `local`, closing omit-end elements and opening omit-start elements
+    * as the reference does; bounded, never throws. */
+  private def repairFor(local: String, off: Int): Unit = {
+    var guard = stack.size + 8
+    while (guard > 0) {
+      guard -= 1
+      val f = top
+      if (f.edef.isEmpty || accepts(f, local)) return
+      // (a) implied open: an enabled child with omitted start tag that can
+      //     contain `local` (e.g. <table><tr> → insert <tbody>)
+      val viaOpen: Option[String] = f.dfa.flatMap { run =>
+        run.enabledSymbols.find { x =>
+          !f.exclusions.contains(x) &&
+          holder.dtd.element(x).exists(xd => xd.omitStart &&
+            (xd.containable.contains(local) || xd.content == ContentKind.Any))
+        }
+      }
+      viaOpen match {
+        case Some(x) =>
+          impliedOpen(x, off)
+        case None =>
+          // (b) implied close: `<li>` implies `</li>` when li omit-end
+          if (f.edef.exists(_.omitEnd) && stack.size > 1) {
+            stripTrailingNewlineForSpace(f)
+            popFrame()
+          } else {
+            if (cfg.validate)
+              log.add("not-allowed-here", off, local)
+            return // accept in place (lenient)
+          }
+      }
+    }
+  }
+
+  /** Text repair — same search, driven by `mixed` instead of a name. */
+  private def repairForText(off: Int): Unit = {
+    var guard = stack.size + 8
+    while (guard > 0) {
+      guard -= 1
+      val f = top
+      if (acceptsText(f, wsOnly = false)) return
+      val viaOpen: Option[String] = f.dfa.flatMap { run =>
+        run.enabledSymbols.find { x =>
+          holder.dtd.element(x).exists(xd => xd.omitStart && xd.mixed)
+        }
+      }
+      viaOpen match {
+        case Some(x) => impliedOpen(x, off)
+        case None =>
+          if (f.edef.exists(_.omitEnd) && stack.size > 1) popFrame()
+          else {
+            if (cfg.validate) log.add("cdata-not-allowed", off, f.name)
+            return
+          }
+      }
+    }
+  }
+
+  private def impliedOpen(local: String, off: Int): Unit = {
+    stepParent(local, off)
+    val edef = holder.dtd.element(local)
+    val name = qualify(local, top.nsScope, isAttr = false)
+    val attrs = typedAttrs(local, Nil, edef, top.nsScope, off)
+    stack += new Frame(name, attrs, off, edef,
+      edef.flatMap(_.dfa).map(new DfaRun(_)),
+      top.exclusions ++ edef.map(_.exclusions).getOrElse(Set.empty),
+      top.inclusions ++ edef.map(_.inclusions).getOrElse(Set.empty),
+      top.nsScope, top.spacePreserve)
+  }
+
+  private def stepParent(local: String, off: Int): Unit = {
+    val f = top
+    if (f.inclusions.contains(local)) return // inclusions don't advance DFA
+    f.dfa.foreach { run =>
+      if (!run.step(local) && cfg.validate)
+        log.add("not-allowed-here", off, local)
+    }
+  }
+
+  // ----------------------------------------------------------------- text
+
+  private def onText(s0: String, raw: Boolean, off: Int): Unit = {
+    if (s0.isEmpty) return
+    var s = s0
+    val wsOnly = isWhitespaceOnly(s)
+
+    if (!raw) {
+      // ignorable whitespace: element-declared content never holds text
+      if (wsOnly && top.edef.exists(ed => !ed.mixed)) return
+      if (wsOnly && !acceptsText(top, wsOnly = true) && top.edef.isDefined) return
+
+      if (!wsOnly && !acceptsText(top, wsOnly = false)) repairForText(off)
+
+      val mode = effectiveSpace
+      if (!top.spacePreserve) mode match {
+        case SpaceMode.SgmlMode | SpaceMode.Default =>
+          // one newline directly after the start tag is removed
+          if (top.children.isEmpty && !top.sawText && stack.size > 1)
+            s = stripLeadingNewline(s)
+        case SpaceMode.Remove =>
+          s = collapseWs(s)
+        case _ =>
+      }
+      if (cfg.space == SpaceMode.Strict && wsOnly &&
+          top.edef.exists(ed => !ed.mixed))
+        log.add("whitespace-not-allowed", off, top.name)
+      if (s.isEmpty) return
+    }
+
+    top.sawText = true
+    // merge with an adjacent text node of the same rawness (entity
+    // boundaries, comments and injected media must not split runs
+    // unless markup intervened — the tokenizer already coalesces;
+    // this handles re-tokenized entity content)
+    top.children.lastOption match {
+      case Some(Node.Text(prev, praw, poff)) if praw == raw && !raw =>
+        top.children(top.children.size - 1) = Node.Text(prev + s, raw, poff)
+      case _ =>
+        top.children += Node.Text(s, raw, off)
+    }
+  }
+
+  private def effectiveSpace: SpaceMode =
+    if (top.spacePreserve) SpaceMode.Preserve else cfg.space
+
+  private def stripTrailingNewline(f: Frame): Unit = {
+    if (f.spacePreserve) return
+    cfg.space match {
+      case SpaceMode.SgmlMode | SpaceMode.Default =>
+        f.children.lastOption match {
+          case Some(Node.Text(s, false, off)) =>
+            val t = stripTrailingNewlineStr(s)
+            if (t.isEmpty) f.children.remove(f.children.size - 1)
+            else if (t ne s) f.children(f.children.size - 1) = Node.Text(t, raw = false, off)
+          case _ =>
+        }
+      case _ =>
+    }
+  }
+
+  private def stripTrailingNewlineForSpace(f: Frame): Unit = () // handled in popFrame
+
+  // ----------------------------------------------------- attributes (T4/T5)
+
+  private def typedAttrs(rawName: String, rawAttrs: List[RawAttr],
+      edef: Option[ElementDef], scope: Map[String, String], off: Int): List[Attr] = {
+    val decls = edef.map(_.attrs).getOrElse(Map.empty)
+    val seen = mutable.LinkedHashMap.empty[String, Attr]
+    rawAttrs.foreach { ra =>
+      val qn = if (cfg.dialect.namespaces) qualify(ra.name, scope, isAttr = true)
+               else ra.name
+      if (seen.contains(qn)) log.add("duplicate-attribute", ra.off, ra.name)
+      else {
+        val rawVal = ra.value.getOrElse(ra.name) // minimized: value = name
+        seen += qn -> Attr(qn, convertAttr(rawVal, decls.get(localOf(ra.name)), ra.off))
+      }
+    }
+    // attribute defaulting: #FIXED / literal defaults injected; #REQUIRED
+    // enforced (`parser.c — add_default_attributes` [V])
+    decls.valuesIterator.foreach { d =>
+      if (!seen.contains(d.name)) d.default match {
+        case AttrDefault.Fixed(v) => seen += d.name -> Attr(d.name, convertAttr(v, Some(d), off))
+        case AttrDefault.Value(v) => seen += d.name -> Attr(d.name, convertAttr(v, Some(d), off))
+        case AttrDefault.Required => log.add("required-attribute-missing", off, s"$rawName/${d.name}")
+        case _ =>
+      }
+    }
+    seen.values.toList
+  }
+
+  private def convertAttr(v0: String, decl: Option[AttrDecl], off: Int): AttrValue = {
+    import AttrType._
+    decl.map(_.tpe) match {
+      case None | Some(TCdata) => AttrValue.Str(v0)
+      case Some(t) =>
+        // tokenized types: collapse whitespace; SGML folds token case
+        val collapsed = collapseWs(v0)
+        val v = if (cfg.dialect.foldCase && !t.isInstanceOf[TEnum]) collapsed.toLowerCase
+                else if (cfg.dialect.foldCase) collapsed.toLowerCase
+                else collapsed
+        t match {
+          case TNumber =>
+            if (!v.forall(_.isDigit) || v.isEmpty) {
+              log.add("bad-number-attribute", off, v0); AttrValue.Str(v)
+            } else if (cfg.number == NumberMode.Integer)
+              try AttrValue.Num(v.toLong)
+              catch { case _: NumberFormatException => AttrValue.Str(v) }
+            else AttrValue.Str(v)
+          case TNumbers if cfg.number == NumberMode.Integer =>
+            AttrValue.Toks(v.split(' ').toList)
+          case tt if AttrType.isList(tt) =>
+            AttrValue.Toks(if (v.isEmpty) Nil else v.split(' ').toList)
+          case TEnum(vals) =>
+            if (!vals.contains(v) && cfg.validate)
+              log.add("bad-enum-attribute", off, v0)
+            AttrValue.Str(v)
+          case _ => AttrValue.Str(v)
+        }
+    }
+  }
+
+  // ------------------------------------------------------------ namespaces
+
+  private def qualify(name: String, scope: Map[String, String], isAttr: Boolean): String = {
+    if (!cfg.dialect.namespaces) return name
+    if (name == "xmlns" || name.startsWith("xmlns:")) return name
+    val i = name.indexOf(':')
+    if (i > 0) {
+      val prefix = name.substring(0, i)
+      val local = name.substring(i + 1)
+      if (prefix == "xml") name
+      else scope.get(prefix) match {
+        case Some(uri) if uri.nonEmpty => s"{$uri}$local"
+        case _ =>
+          log.add("undeclared-ns-prefix", 0, prefix)
+          name
+      }
+    } else if (!isAttr || cfg.qualifyAttributes) {
+      // default namespace applies to elements (not attributes)
+      scope.get("") match {
+        case Some(uri) if uri.nonEmpty => s"{$uri}$name"
+        case _ => name
+      }
+    } else name
+  }
+
+  private def localOf(name: String): String = {
+    val j = name.indexOf('}')
+    val base = if (name.startsWith("{") && j > 0) name.substring(j + 1) else name
+    val i = base.indexOf(':')
+    if (i > 0 && !base.startsWith("xmlns")) base.substring(i + 1) else base
+  }
+
+  private def xmlSpaceOf(attrs: List[RawAttr]): Option[Boolean] =
+    attrs.collectFirst {
+      case RawAttr("xml:space", Some("preserve"), _) => true
+      case RawAttr("xml:space", Some("default"), _)  => false
+    }
+
+  // --------------------------------------------------------------- doctype
+
+  private def onDecl(s: String, off: Int): Unit = {
+    if (s.startsWith("?")) return // XML declaration — informational only
+    val up = s.stripLeading()
+    if (up.regionMatches(true, 0, "DOCTYPE", 0, 7)) {
+      val rest = up.substring(7)
+      val lx = rest.trim
+      // root name
+      var i = 0
+      while (i < lx.length && !lx.charAt(i).isWhitespace && lx.charAt(i) != '[') i += 1
+      val rootName = lx.substring(0, i)
+      val after = lx.substring(i)
+      // external id → catalog (PUBLIC/SYSTEM) resolution (S3)
+      val fromCatalog = Catalog.resolveDoctype(rootName, after, cfg.dialect)
+      fromCatalog.foreach(d => holder.dtd = holder.dtd.merge(d))
+      // internal subset
+      val lb = after.indexOf('[')
+      val rb = after.lastIndexOf(']')
+      if (lb >= 0 && rb > lb) {
+        val subset = after.substring(lb + 1, rb)
+        val (d2, errs) = DtdParser.parseSubset(subset, holder.dtd, cfg.dialect.foldCase)
+        holder.dtd = d2.copy(doctype = Some(
+          if (cfg.dialect.foldCase) rootName.toLowerCase else rootName))
+        errs.foreach(e => log.add(e.code, off, e.detail))
+      } else if (holder.dtd.doctype.isEmpty) {
+        holder.dtd = holder.dtd.copy(doctype = Some(
+          if (cfg.dialect.foldCase) rootName.toLowerCase else rootName))
+      }
+    } else if (up.regionMatches(true, 0, "ELEMENT", 0, 7) ||
+               up.regionMatches(true, 0, "ATTLIST", 0, 7) ||
+               up.regionMatches(true, 0, "ENTITY", 0, 6) ||
+               up.regionMatches(true, 0, "NOTATION", 0, 8)) {
+      // declarations outside a DOCTYPE (declaration-mode leniency)
+      val (d2, errs) = DtdParser.parseDeclaration(up, holder.dtd, cfg.dialect.foldCase)
+      holder.dtd = d2
+      errs.foreach(e => log.add(e.code, off, e.detail))
+    }
+    // other declarations ignored
+  }
+
+  // --------------------------------------------------------------- helpers
+
+  private def addChild(n: Node): Unit = addChildNode(n)
+  private def addChildNode(n: Node): Unit = top.children += n
+
+  private def isWhitespaceOnly(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (!s.charAt(i).isWhitespace) return false; i += 1 }
+    true
+  }
+
+  private def stripLeadingNewline(s: String): String = {
+    if (s.startsWith("\r\n")) s.substring(2)
+    else if (s.length > 0 && (s.charAt(0) == '\n' || s.charAt(0) == '\r')) s.substring(1)
+    else s
+  }
+
+  private def stripTrailingNewlineStr(s: String): String = {
+    if (s.endsWith("\r\n")) s.substring(0, s.length - 2)
+    else if (s.length > 0 && (s.charAt(s.length - 1) == '\n' || s.charAt(s.length - 1) == '\r'))
+      s.substring(0, s.length - 1)
+    else s
+  }
+
+  private def collapseWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) { if (sb.length() > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,247 @@
+package graft.sgml
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Synthetic conformance corpus — FIXTURES.md F1–F14. Goldens are
+  * hand-derived from the documented reference semantics (SURVEY.md §5;
+  * the reference checkout was empty at survey time, §0). Span equality is
+  * exact on (kind, text, media_ref, order); offsets asserted strictly
+  * increasing. */
+class FixtureSpec extends AnyFunSuite {
+
+  private def cfg(d: Dialect, s: SpaceMode = SpaceMode.Preserve) =
+    ParserConfig(dialect = d, space = s)
+
+  private def kts(spans: Vector[Span]): Vector[(String, String, String)] =
+    spans.map(s => (s.kind, s.text, s.media_ref))
+
+  private def assertIncreasing(spans: Vector[Span]): Unit = {
+    val offs = spans.map(_.offset)
+    assert(offs == offs.sorted, s"offsets not non-decreasing: $offs")
+    assert(offs.distinct == offs, s"offsets not strictly increasing: $offs")
+  }
+
+  test("F1 xml-basic") {
+    val (spans, errs) = SgmlParser.spans("<doc><a>hello</a> <b>world</b></doc>",
+      cfg(Dialect.Xml))
+    assert(kts(spans) == Vector(
+      ("text", "hello", null), ("text", " ", null), ("text", "world", null)))
+    assertIncreasing(spans)
+    assert(errs.isEmpty)
+  }
+
+  test("F2 xml-entities: char/named refs expand in place, one text node") {
+    val (spans, errs) = SgmlParser.spans("<d>a &amp; b &#65;&#x42;</d>", cfg(Dialect.Xml))
+    assert(kts(spans) == Vector(("text", "a & b AB", null)))
+    assert(errs.isEmpty)
+  }
+
+  test("F3 xml-cdata section") {
+    val (spans, errs) = SgmlParser.spans("<d>x<![CDATA[<not &markup;>]]>y</d>", cfg(Dialect.Xml))
+    assert(kts(spans) == Vector(
+      ("text", "x", null), ("cdata", "<not &markup;>", null), ("text", "y", null)))
+    assertIncreasing(spans)
+    assert(errs.isEmpty)
+  }
+
+  test("F4 xml-pi") {
+    val (spans, errs) = SgmlParser.spans("<d><?target data?>t</d>", cfg(Dialect.Xml))
+    assert(kts(spans) == Vector(("pi", "target data", null), ("text", "t", null)))
+    assertIncreasing(spans)
+    assert(errs.isEmpty)
+  }
+
+  test("F5 html-omission: li auto-closes li") {
+    val r = SgmlParser.parse("<ul><li>one<li>two</ul>",
+      cfg(Dialect.Html4, SpaceMode.SgmlMode))
+    assert(kts(r.spans(cfg(Dialect.Html4))) == Vector(
+      ("text", "one", null), ("text", "two", null)))
+    // tree shape: ul/[li[one], li[two]]
+    val ul = r.content.collectFirst { case e: Node.Elem => e }.get
+    assert(ul.name == "ul")
+    val lis = ul.children.collect { case e: Node.Elem => e }
+    assert(lis.map(_.name) == Vector("li", "li"))
+    assert(lis(0).children == Vector(Node.Text("one", raw = false, 8)))
+    assert(r.errors.isEmpty, r.errors)
+  }
+
+  test("F5b html-omission: table auto-inserts tbody") {
+    val r = SgmlParser.parse("<table><tr><td>x</table>",
+      cfg(Dialect.Html4, SpaceMode.SgmlMode))
+    val table = r.content.collectFirst { case e: Node.Elem => e }.get
+    assert(table.name == "table")
+    val tbody = table.children.collect { case e: Node.Elem => e }
+    assert(tbody.map(_.name) == Vector("tbody"))
+    val tr = tbody(0).children.collect { case e: Node.Elem => e }
+    assert(tr.map(_.name) == Vector("tr"))
+    assert(r.spans(cfg(Dialect.Html4)).map(_.text) == Vector("x"))
+  }
+
+  test("F5c html-omission: head/body implied") {
+    val r = SgmlParser.parse("<html><title>t</title><p>y</html>",
+      cfg(Dialect.Html4, SpaceMode.SgmlMode))
+    val html = r.content.collectFirst { case e: Node.Elem => e }.get
+    assert(html.name == "html")
+    val kids = html.children.collect { case e: Node.Elem => e }
+    assert(kids.map(_.name) == Vector("head", "body"))
+  }
+
+  test("F6 html-entities") {
+    val (spans, _) = SgmlParser.spans("<p>a&nbsp;b &copy;</p>", cfg(Dialect.Html4))
+    assert(kts(spans) == Vector(("text", "a b ©", null)))
+  }
+
+  test("F7 html-script declared CDATA") {
+    val (spans, errs) = SgmlParser.spans("<script>if (a<b && c>d) {}</script>",
+      cfg(Dialect.Html4))
+    assert(kts(spans) == Vector(("cdata", "if (a<b && c>d) {}", null)))
+    assert(errs.isEmpty)
+  }
+
+  test("F8 html-media") {
+    val (spans, errs) = SgmlParser.spans("""<p>see <img src="pic.png"> here</p>""",
+      cfg(Dialect.Html4))
+    assert(kts(spans) == Vector(
+      ("text", "see ", null), ("media", "", "pic.png"), ("text", " here", null)))
+    assertIncreasing(spans)
+    assert(errs.isEmpty)
+  }
+
+  test("F9 xmlns qualification") {
+    val r = SgmlParser.parse("""<d xmlns:s="urn:x"><s:a>t</s:a></d>""", cfg(Dialect.Xmlns))
+    assert(kts(r.spans(cfg(Dialect.Xmlns))) == Vector(("text", "t", null)))
+    val d = r.content.collectFirst { case e: Node.Elem => e }.get
+    val sa = d.children.collectFirst { case e: Node.Elem => e }.get
+    assert(sa.name == "{urn:x}a")
+    assert(r.errors.isEmpty)
+  }
+
+  test("F9b xmlns: default ns on elements, not attributes") {
+    val r = SgmlParser.parse("""<d xmlns="urn:y" a="1"><e b="2">t</e></d>""", cfg(Dialect.Xmlns))
+    val d = r.content.collectFirst { case e: Node.Elem => e }.get
+    assert(d.name == "{urn:y}d")
+    assert(d.attrs.exists(a => a.name == "a")) // unqualified attr
+    val e = d.children.collectFirst { case el: Node.Elem => el }.get
+    assert(e.name == "{urn:y}e")
+    assert(e.attrs.map(_.name) == List("b"))
+  }
+
+  test("F10 attr types + defaulting via inline DTD") {
+    val doc =
+      """<!DOCTYPE r [
+        |<!ELEMENT r (e)*>
+        |<!ELEMENT e - - (#PCDATA)>
+        |<!ATTLIST e n NUMBER #REQUIRED ts NMTOKENS #IMPLIED fx CDATA #FIXED "fixed-val">
+        |]>
+        |<r><e n="42" ts="a  b c">x</e><e>y</e></r>""".stripMargin
+    val c = ParserConfig(dialect = Dialect.Sgml, space = SpaceMode.SgmlMode,
+      number = NumberMode.Integer)
+    val r = SgmlParser.parse(doc, c)
+    val root = r.content.collectFirst { case e: Node.Elem => e }.get
+    val es = root.children.collect { case e: Node.Elem => e }
+    assert(es.size == 2)
+    val a1 = es(0).attrs.map(a => a.name -> a.value).toMap
+    assert(a1("n") == AttrValue.Num(42L))
+    assert(a1("ts") == AttrValue.Toks(List("a", "b", "c")))
+    assert(a1("fx") == AttrValue.Str("fixed-val"))
+    // second e: missing #REQUIRED n → error; fx still defaulted
+    val a2 = es(1).attrs.map(a => a.name -> a.value).toMap
+    assert(a2("fx") == AttrValue.Str("fixed-val"))
+    assert(r.errors.exists(_.code == "required-attribute-missing"))
+  }
+
+  test("F11 whitespace modes") {
+    val doc = "<d>\n  a  b\n</d>"
+    def run(m: SpaceMode) =
+      SgmlParser.spans(doc, ParserConfig(dialect = Dialect.Xml, space = m))._1.map(_.text)
+    assert(run(SpaceMode.Preserve) == Vector("\n  a  b\n"))
+    assert(run(SpaceMode.SgmlMode) == Vector("  a  b"))
+    assert(run(SpaceMode.Remove) == Vector("a b"))
+  }
+
+  test("F11b xml:space=preserve overrides sgml mode") {
+    val doc = "<d><pre xml:space=\"preserve\">\n  k\n</pre></d>"
+    val (spans, _) = SgmlParser.spans(doc, ParserConfig(Dialect.Xml, SpaceMode.Default))
+    assert(spans.map(_.text) == Vector("\n  k\n"))
+  }
+
+  test("F12 encodings: BOM, xml-decl UTF-8, Latin-1") {
+    val c = cfg(Dialect.Xml)
+    val utf8 = "<d>café</d>".getBytes("UTF-8")
+    val utf8bom = (Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ utf8)
+    val decl = "<?xml version=\"1.0\" encoding=\"UTF-8\"?><d>café</d>".getBytes("UTF-8")
+    val latin1 = "<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?><d>café</d>".getBytes("ISO-8859-1")
+    for (bytes <- Seq(utf8, utf8bom, decl, latin1)) {
+      val r = SgmlParser.parseBytes(bytes, c)
+      assert(r.spans(c).map(_.text) == Vector("café"), new String(bytes, "ISO-8859-1"))
+    }
+  }
+
+  test("F13 malformed recovery: unclosed <b> repaired at </p>") {
+    val (spans, errs) = SgmlParser.spans("<p>a <b>bold</p> tail",
+      cfg(Dialect.Html4, SpaceMode.SgmlMode))
+    assert(kts(spans) == Vector(
+      ("text", "a ", null), ("text", "bold", null), ("text", " tail", null)))
+    assert(errs.nonEmpty)
+    assert(errs.exists(_.code == "unclosed-element"))
+  }
+
+  test("F14 interleaved media passthrough") {
+    val p = new SgmlParser(cfg(Dialect.Html4))
+    p.feed("<p>x</p>", 0)
+    p.media("vid.mp4", 8)
+    p.feed("<p>y</p>", 9)
+    val r = p.finish()
+    val spans = r.spans(cfg(Dialect.Html4))
+    assert(kts(spans) == Vector(
+      ("text", "x", null), ("media", "", "vid.mp4"), ("text", "y", null)))
+    assertIncreasing(spans)
+  }
+
+  test("chunked feed equals whole-document parse (incremental API)") {
+    val doc = "<ul><li>one<li>two</ul><p>a &amp; <img src='u'>b</p>"
+    val whole = SgmlParser.spans(doc, cfg(Dialect.Html4, SpaceMode.SgmlMode))._1
+    for (k <- 1 to doc.length) {
+      val p = new SgmlParser(cfg(Dialect.Html4, SpaceMode.SgmlMode))
+      p.feed(doc.substring(0, k), 0)
+      p.feed(doc.substring(k))
+      assert(p.finish().spans(cfg(Dialect.Html4, SpaceMode.SgmlMode)) == whole, s"split at $k")
+    }
+  }
+
+  test("marked sections: INCLUDE and IGNORE") {
+    val c = cfg(Dialect.Sgml)
+    val (s1, _) = SgmlParser.spans("<d>a<![INCLUDE[b]]>c</d>", c)
+    assert(s1.map(_.text).mkString == "abc")
+    val (s2, _) = SgmlParser.spans("<d>a<![IGNORE[b]]>c</d>", c)
+    assert(s2.map(_.text).mkString == "ac")
+  }
+
+  test("undeclared entity → entity span + error") {
+    val (spans, errs) = SgmlParser.spans("<d>a&unknown;b</d>", cfg(Dialect.Xml))
+    assert(kts(spans) == Vector(
+      ("text", "a", null), ("entity", "unknown", null), ("text", "b", null)))
+    assert(errs.exists(_.code == "undeclared-entity"))
+  }
+
+  test("DTD general entity re-tokenized (may contain markup)") {
+    val doc = "<!DOCTYPE d [<!ENTITY frag \"<b>x</b>\">]><d>a&frag;c</d>"
+    val r = SgmlParser.parse(doc, cfg(Dialect.Xml))
+    assert(r.spans(cfg(Dialect.Xml)).map(_.text) == Vector("a", "x", "c"))
+  }
+
+  test("comments do not split text runs") {
+    val (spans, _) = SgmlParser.spans("<d>a<!-- c -->b</d>", cfg(Dialect.Xml))
+    assert(spans.map(_.text) == Vector("ab"))
+  }
+
+  test("never throws on noise (error rows instead)") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val s = new String(Array.fill(rng.nextInt(300))(
+        (rng.nextInt(96) + 32).toChar))
+      val r = SgmlParser.parse(s, cfg(Dialect.Html4, SpaceMode.SgmlMode))
+      assert(r != null)
+    }
+  }
+}
