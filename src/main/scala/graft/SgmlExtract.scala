@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sgml._
+
+/** Contract-schema case classes (BASELINE.json input_hint):
+  * input  docs(doc_id string, spans array<struct<kind,text,media_ref,offset>>)
+  * output extracted(doc_id, spans) + errors per doc.
+  */
+final case class InSpan(kind: String, text: String, media_ref: String, offset: Int)
+final case class Doc(doc_id: String, spans: Seq[InSpan])
+final case class OutSpan(kind: String, text: String, media_ref: String, offset: Int)
+final case class ErrRow(code: String, offset: Int, detail: String)
+final case class Extracted(doc_id: String, spans: Seq[OutSpan], errors: Seq[ErrRow])
+
+/** The Spark surface of the extraction engine (SURVEY.md §1.2, §3 E1).
+  *
+  * One narrow `mapPartitions` stage: decode → tokenize → build → emit, one
+  * doc per row, events never leave the task. Columnar at rest (Parquet/
+  * Iceberg), row-oriented only inside the kernel. No shuffle on the bulk
+  * path; shuffles exist only before (size-aware repartition for skew) and
+  * after (writes / aggregations).
+  */
+object SgmlExtract {
+
+  /** Serializable parse options for executors. */
+  final case class Config(
+      dialect: String = "html4",
+      space: String = "sgml",
+      maxErrors: Int = 100,
+      maxDocChars: Int = 64 << 20) {
+    def toParserConfig: ParserConfig = ParserConfig(
+      dialect = Dialect.parse(dialect),
+      space = SpaceMode.parse(space),
+      maxErrors = maxErrors,
+      maxDocChars = maxDocChars)
+  }
+
+  /** Parse one interleaved doc: text spans feed the incremental parser in
+    * order, media spans pass through at their offsets (F14). */
+  def parseDoc(doc: Doc, cfg: ParserConfig): Extracted = {
+    try {
+      val p = new SgmlParser(cfg)
+      if (doc.spans != null) doc.spans.foreach { s =>
+        s.kind match {
+          case "media" => p.media(s.media_ref, s.offset)
+          case _       => if (s.text != null) p.feed(s.text, s.offset)
+        }
+      }
+      val r = p.finish()
+      Extracted(
+        doc.doc_id,
+        r.spans(cfg).map(s => OutSpan(s.kind, s.text, s.media_ref, s.offset)),
+        r.errors.map(e => ErrRow(e.code, e.off, e.detail)))
+    } catch {
+      case e: Throwable => // poisoned doc → error row, never a failed task
+        Extracted(doc.doc_id, Seq.empty,
+          Seq(ErrRow("internal-error", 0, String.valueOf(e.getMessage).take(200))))
+    }
+  }
+
+  /** The flagship transform: Dataset[Doc] → Dataset[Extracted], one narrow
+    * stage (SURVEY.md §3: no shuffle; ParserConfig built once per
+    * partition, DTD cached once per JVM via HtmlDtd's lazy val). */
+  def extract(ds: Dataset[Doc], config: Config): Dataset[Extracted] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val cfg = config.toParserConfig // per-partition, not per-doc
+      it.map(parseDoc(_, cfg))
+    }
+  }
+
+  /** Wrap the driver corpus (`documents.parquet`: doc_id int64, text, lang,
+    * source, n_chars) into the contract schema — one text span at offset 0.
+    * Columns pruned BEFORE the opaque kernel so the parquet scan reads only
+    * doc_id+text (pushdown stops at mapPartitions — SURVEY.md §4). */
+  def wrapDocuments(spark: SparkSession, sfDir: String): Dataset[Doc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").cast("string").as("doc_id"),
+        array(struct(
+          lit("text").as("kind"),
+          col("text").as("text"),
+          lit(null).cast("string").as("media_ref"),
+          lit(0).as("offset"))).as("spans"))
+      .as[Doc]
+  }
+
+  /** Wrap with deterministic synthetic markup + an interleaved media span —
+    * exercises tag parse, omission repair and media passthrough on the real
+    * corpus while staying SQL-reconstructable for the DuckDB oracle. */
+  def wrapDocumentsMarked(spark: SparkSession, sfDir: String): Dataset[Doc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").cast("string").as("doc_id"),
+        array(
+          struct(
+            lit("text").as("kind"),
+            concat(lit("<html><body><p>"), col("text"),
+              lit("<p>tail"), lit("</body></html>")).as("text"),
+            lit(null).cast("string").as("media_ref"),
+            lit(0).as("offset")),
+          struct(
+            lit("media").as("kind"),
+            lit("").as("text"),
+            concat(lit("asset_"), col("doc_id"), lit(".bin")).as("media_ref"),
+            (length(col("text")) + lit(100000)).as("offset"))
+        ).as("spans"))
+      .as[Doc]
+  }
+
+  /** SQL surface: `sgml_spans(text)` → array of span structs, usable with
+    * LATERAL VIEW / explode (SURVEY.md §2.7 UDF surface). */
+  def registerUdfs(spark: SparkSession): Unit = {
+    val parse = (text: String, dialect: String, space: String) => {
+      val cfg = Config(dialect = dialect, space = space).toParserConfig
+      val (spans, _) = SgmlParser.spans(if (text == null) "" else text, cfg)
+      spans.map(s => OutSpan(s.kind, s.text, s.media_ref, s.offset))
+    }
+    spark.udf.register("sgml_spans", parse)
+  }
+
+  /** Size-aware repartition for skewed giant docs (north rule; SURVEY.md
+    * §4.1): normal docs hash-bucket by doc_id; whales (≥ whaleChars) each
+    * get a dedicated partition key so one task never holds two whales. */
+  def sizeAwareRepartition(df: DataFrame, numPartitions: Int,
+      whaleChars: Long = 8L << 20): DataFrame = {
+    val chars = expr("aggregate(spans, 0L, (acc, s) -> acc + length(coalesce(s.text, '')))")
+    df.withColumn("__part_key",
+        when(chars >= whaleChars, concat(lit("whale:"), col("doc_id")))
+          .otherwise(pmod(hash(col("doc_id")), lit(numPartitions)).cast("string")))
+      .repartition(numPartitions, col("__part_key"))
+      .drop("__part_key")
+  }
+
+  /** Per-partition lineage rows (run_id, partition_id, docs, spans, errors,
+    * bytes) — computed in the same narrow stage as the parse, so
+    * spark_partition_id() is the parse partition (FIXTURES.md lineage
+    * schema; north rule "per-partition lineage + metrics"). */
+  def lineage(extracted: Dataset[Extracted], runId: String): DataFrame = {
+    extracted
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col("__pid").as("partition_id"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(expr("aggregate(spans, 0L, (a, s) -> a + length(coalesce(s.text, '')))")).as("bytes"),
+        sum(size(col("spans")).cast("long")).as("spans"),
+        sum(size(col("errors")).cast("long")).as("errors"))
+      .withColumn("run_id", lit(runId))
+      .select("run_id", "partition_id", "docs", "bytes", "spans", "errors")
+  }
+}

@@ -1,13 +1,187 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator exposed here is one of:
+  * - the extraction kernel itself (x*) — parse correctness is verified
+  *   end-to-end through the DuckDB oracle because the synthetic markup is
+  *   SQL-reconstructable;
+  * - relational/dataflow ops used around the kernel (q*);
+  * - training-data pipeline ops (d* dedup, t* text analysis, e* embedding
+  *   similarity, m* multimodal plumbing).
+  * Non-SQL-expressible ops have no oracleSql entry (rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: parse the interleaved text+media corpus and explode the
+    * ordered span sequences. Driver smoke-checks rows > 0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = SgmlExtract.wrapDocumentsMarked(spark, "/root/testdata/sf0.001")
+    val cfg = SgmlExtract.Config(dialect = "html4", space = "preserve")
+    SgmlExtract.extract(docs, cfg)
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), col("span.kind"), col("span.text"),
+        col("span.media_ref"), col("span.offset"))
+  }
+
+  private def extractPreserve(s: SparkSession, dir: String, marked: Boolean) = {
+    val docs = if (marked) SgmlExtract.wrapDocumentsMarked(s, dir)
+               else SgmlExtract.wrapDocuments(s, dir)
+    SgmlExtract.extract(docs, SgmlExtract.Config(dialect = "html4", space = "preserve"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction kernel, oracle-verified end-to-end ------------------
+    "x1_parse_identity" -> ((s, dir) => {
+      extractPreserve(s, dir, marked = false)
+        .select(
+          col("doc_id"),
+          expr("aggregate(spans, '', (acc, sp) -> acc || sp.text)").as("text"),
+          size(col("spans")).cast("long").as("n_spans"))
+    }),
+    "x2_parse_markup_spans" -> ((s, dir) => {
+      extractPreserve(s, dir, marked = true)
+        .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("span.kind").as("kind"), col("span.text").as("text"),
+          col("span.media_ref").as("media_ref"))
+    }),
+    "x3_parse_errors" -> ((s, dir) => {
+      extractPreserve(s, dir, marked = true)
+        .select(col("doc_id"), size(col("errors")).cast("long").as("n_errors"))
+    }),
+
+    // ---- relational ops around the kernel --------------------------------
+    "q1_lineitem_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))
+    }),
+    "q2_join_agg" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      orders
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    }),
+    "q3_window_first_event" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_event_type"))
+    }),
+
+    // ---- deduplication ----------------------------------------------------
+    "d1_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "d2_minhash_bands" -> ((s, dir) => Dedup.minhashBands(s, dir)),
+    "d3_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
+    "d4_simhash" -> ((s, dir) => Dedup.simhashes(s, dir)),
+    "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+
+    // ---- text analysis ----------------------------------------------------
+    "t1_text_stats" -> ((s, dir) => {
+      TextOps.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("char_len"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("word_count"),
+        length(regexp_replace(col("text"), "[^aeiou]", "")).cast("long").as("vowel_count"))
+    }),
+    "t2_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
+    "t3_quality" -> ((s, dir) => TextOps.qualityScore(s, dir)),
+    "t4_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
+    "t5_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprints(s, dir).select(col("doc_id"),
+        col("fingerprint")(0).as("fp_min"), size(col("fingerprint")).as("fp_len"))),
+
+    // ---- embedding similarity --------------------------------------------
+    "e1_knn_exact" -> ((s, dir) =>
+      Similarity.knnBruteForce(s, dir).withColumn("rank", col("rank").cast("long"))),
+    "e2_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
+
+    // ---- multimodal plumbing (stubbed codec; see MediaOps) ----------------
+    "m1_media_meta" -> ((s, dir) => {
+      MediaOps.decodeStub(MediaOps.syntheticAssets(s, dir)).toDF()
+        .select(col("media_ref"), col("mime"), col("byte_len"),
+          col("width"), col("height"), col("n_frames"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x1_parse_identity" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+        | CAST(1 AS BIGINT) AS n_spans FROM documents""".stripMargin,
+    "x2_parse_markup_spans" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS pos,
+        |  'text' AS kind, text AS text, CAST(NULL AS VARCHAR) AS media_ref FROM documents
+        |UNION ALL
+        |SELECT CAST(doc_id AS VARCHAR), CAST(1 AS BIGINT), 'text', 'tail',
+        |  CAST(NULL AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT CAST(doc_id AS VARCHAR), CAST(2 AS BIGINT), 'media', '',
+        |  'asset_' || CAST(doc_id AS VARCHAR) || '.bin' FROM documents""".stripMargin,
+    "x3_parse_errors" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS n_errors FROM documents",
+    "q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q3_window_first_event" ->
+      """SELECT user_id, event_type AS first_event_type FROM (
+        | SELECT user_id, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events) t WHERE rn = 1""".stripMargin,
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+        | COUNT(*) AS dup_count FROM documents GROUP BY md5(text)""".stripMargin,
+    "t3_quality" ->
+      """SELECT doc_id,
+        | CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_words,
+        | CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+        |   x -> list_contains(['the','a','an','and','or','of','to','in','is','it','der','die','das','und','le','la','les','et','el','los','y'], x))) AS INTEGER) AS stopword_hits,
+        | CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INTEGER) AS alpha_chars,
+        | CAST(LENGTH(text) AS INTEGER) AS n_chars,
+        | (LEN(regexp_split_to_array(TRIM(text), '\s+')) >= 10
+        |   AND LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+        |     x -> list_contains(['the','a','an','and','or','of','to','in','is','it','der','die','das','und','le','la','les','et','el','los','y'], x))) > 0
+        |   AND LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100 >= LENGTH(text) * 50) AS is_quality
+        |FROM documents""".stripMargin,
+    "t1_text_stats" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS char_len,
+        | CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS word_count,
+        | CAST(LENGTH(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS vowel_count
+        |FROM documents""".stripMargin,
+    "e1_knn_exact" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+        |             e.vec_id) AS rank
+        | FROM embeddings q, embeddings e
+        | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin
+  )
 }

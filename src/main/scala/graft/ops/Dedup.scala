@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline, in increasing
+  * fuzziness: exact (hash groupBy), MinHash+LSH (shingle → minhash → band
+  * → bucket join), SimHash (hamming-banded), n-gram Jaccard verification.
+  *
+  * Scale notes (100 TB): every variant avoids the O(n²) cross join — LSH
+  * band buckets and simhash bands turn near-dup search into an equi-join
+  * on a band key, which Spark executes as a shuffled hash join keyed by
+  * small band values; candidate verification happens only within buckets.
+  * Exact dedup is a single hash aggregation with map-side partials.
+  */
+object Dedup {
+
+  private def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Exact dedup: group by content hash, keep min doc_id. One shuffle on
+    * md5(text) (partial aggregation map-side). */
+  def exact(spark: SparkSession, sfDir: String): DataFrame = {
+    documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("dup_count"))
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  val NumHashes = 64
+  val Bands = 16 // 16 bands × 4 rows: ~threshold (1/16)^(1/4) ≈ 0.5 Jaccard
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Word 3-shingles of a document (lowercased). */
+  def shingles(text: String, n: Int = 3): Set[String] = {
+    if (text == null) return Set.empty
+    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) return if (words.isEmpty) Set.empty else Set(words.mkString(" "))
+    words.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** 64 minhashes via (a_i·h + b_i) mod p over shingle hashes. Fixed
+    * seeds → deterministic across JVMs (String.hashCode is spec-pinned). */
+  def minhash(text: String): Array[Long] = {
+    val sh = shingles(text)
+    val p = 4294967311L // prime > 2^32
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    val rng = new java.util.Random(42)
+    val as = Array.fill(NumHashes)(rng.nextInt(Int.MaxValue).toLong * 2 + 1)
+    val bs = Array.fill(NumHashes)(rng.nextInt(Int.MaxValue).toLong)
+    sh.foreach { s =>
+      val h = (s.hashCode.toLong & 0xFFFFFFFFL)
+      var i = 0
+      while (i < NumHashes) {
+        val v = (as(i) * h + bs(i)) % p
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** doc_id → (band, band_hash) rows; near-dup candidates collide in ≥1
+    * band. */
+  def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val mh = udf((t: String) => minhash(t))
+    val d = documents(spark, sfDir)
+      .select(col("doc_id"), mh(col("text")).as("sig"))
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((0 until RowsPerBand).map(r => col("sig")(b * RowsPerBand + r)): _*)
+          .as("band_hash"))
+    }
+    d.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+  }
+
+  /** Candidate pairs from LSH buckets, verified with exact n-gram Jaccard.
+    * The self-join is an equi-join on (band, band_hash) — no cross join. */
+  def minhashPairs(spark: SparkSession, sfDir: String, minJaccard: Double = 0.5): DataFrame = {
+    val bands = minhashBands(spark, sfDir)
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val texts = documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val jac = udf((x: String, y: String) => ngramJaccard(x, y))
+    cands
+      .join(texts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("jaccard", jac(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram (word 3-shingle) Jaccard similarity. */
+  def ngramJaccard(a: String, b: String): Double = {
+    val sa = shingles(a)
+    val sb = shingles(b)
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word hashes (weight 1). */
+  def simhash(text: String): Long = {
+    if (text == null) return 0L
+    val acc = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { w =>
+      if (w.nonEmpty) {
+        // 64-bit mix of the 32-bit String hash (splitmix64 finalizer)
+        var h = w.hashCode.toLong
+        h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+        h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+        h = h ^ (h >>> 31)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = udf((t: String) => simhash(t))
+    documents(spark, sfDir).select(col("doc_id"), sh(col("text")).as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming distance ≤ maxDist via 4×16-bit band
+    * blocking (a pair within distance 3 must agree on ≥1 band). */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame = {
+    val sh = simhashes(spark, sfDir)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.band_val").as("band_val"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+}

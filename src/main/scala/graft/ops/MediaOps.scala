@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata.
+  *
+  * The actual codec step is STUBBED (this container ships no image/audio
+  * libraries — see the builder contract): `decodeStub` derives
+  * deterministic fake metadata/features from the bytes. Everything
+  * Spark-side is real and tested: schema, batch iteration shape
+  * (mapPartitions over row batches ≈ the Pandas-UDF batch contract),
+  * partitioning, and the join back to extracted media spans.
+  */
+object MediaOps {
+
+  final case class MediaRow(media_ref: String, bytes: Array[Byte], mime: String)
+  final case class MediaMeta(
+      media_ref: String, mime: String, byte_len: Int,
+      width: Int, height: Int, n_frames: Int, feature: Array[Float])
+
+  /** Synthetic deterministic media-asset table derived from doc ids (no
+    * external data): media_ref matches the refs emitted by
+    * `wrapDocumentsMarked`. */
+  def syntheticAssets(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"))
+      .as[String]
+      .map { id =>
+        val seed = id.hashCode.toLong
+        val rng = new java.util.Random(seed)
+        val len = 64 + (math.abs(seed) % 192).toInt
+        val bytes = new Array[Byte](len)
+        rng.nextBytes(bytes)
+        val mime = (math.abs(seed) % 3) match {
+          case 0 => "image/png"
+          case 1 => "audio/wav"
+          case _ => "video/mp4"
+        }
+        MediaRow(s"asset_$id.bin", bytes, mime)
+      }
+  }
+
+  /** ??? in spirit — the codec is a clearly-marked deterministic fake:
+    * real decode would go here (image decode / audio PCM / frame sample).
+    * Metadata and an 8-dim "feature" derive only from the bytes, so
+    * results are stable for tests. Batched per partition like a Pandas
+    * UDF batch. */
+  def decodeStub(assets: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { m =>
+        // STUB decode: hash-derived dimensions/frames + byte-histogram
+        // feature. Replace with a real codec in production.
+        var h = 1125899906842597L
+        var i = 0
+        while (i < m.bytes.length) { h = 31 * h + m.bytes(i); i += 1 }
+        val w = 16 + (math.abs(h) % 1024).toInt
+        val ht = 16 + (math.abs(h >> 10) % 1024).toInt
+        val frames = if (m.mime.startsWith("video")) 1 + (math.abs(h >> 20) % 300).toInt else 1
+        val feat = new Array[Float](8)
+        i = 0
+        while (i < m.bytes.length) {
+          feat(i % 8) += (m.bytes(i) & 0xFF) / 255.0f
+          i += 1
+        }
+        MediaMeta(m.media_ref, m.mime, m.bytes.length, w, ht, frames, feat)
+      }
+    }
+  }
+
+  /** Join decoded media metadata back onto extracted media spans —
+    * media side is derived-small here; at scale this is the spans⋈assets
+    * equi-join on media_ref (broadcast when the asset dim is small). */
+  def enrichSpans(spanRows: DataFrame, meta: DataFrame): DataFrame = {
+    spanRows.filter(col("kind") === "media")
+      .join(meta, Seq("media_ref"), "left")
+  }
+}

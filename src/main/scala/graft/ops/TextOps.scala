@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table: quality stats, token counting, language ID,
+  * document fingerprinting. Everything shuffle-free per row (narrow,
+  * whole-stage-codegen'd built-ins where possible; a deterministic Scala
+  * kernel only where built-ins can't express it).
+  */
+object TextOps {
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Per-doc counting stats. Built-ins only → codegen, pushdown-friendly,
+    * and exactly reproducible in the DuckDB oracle (integer semantics,
+    * no float summation-order issues). */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    documents(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).as("char_len"),
+      size(split(trim(col("text")), "\\s+")).as("word_count"),
+      length(regexp_replace(col("text"), "[^aeiou]", "")).as("vowel_count"),
+      length(regexp_replace(col("text"), "[^ ]", "")).as("space_count"))
+  }
+
+  /** Quality scoring: mean word length (×100, integer-exact), stopword
+    * hits, alpha ratio — the length/punct/stopword family. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "der", "die", "das", "und", "le", "la", "les", "et", "el", "los", "y")
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    val words = split(trim(col("text")), "\\s+")
+    val stopSet = stopwords.map(lit(_))
+    d.select(
+      col("doc_id"),
+      size(words).as("n_words"),
+      // stopword hits via higher-order filter (codegen, no UDF)
+      size(filter(words, w => w.isin(stopwords: _*))).as("stopword_hits"),
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("alpha_chars"),
+      length(col("text")).as("n_chars"))
+      .withColumn("is_quality",
+        (col("n_words") >= 10) && (col("stopword_hits") > 0) &&
+        (col("alpha_chars") * 100 >= col("n_chars") * 50))
+  }
+
+  /** Whitespace + BPE-ish token counting: words plus punctuation clusters
+    * counted as separate tokens (regexp-based, deterministic). */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    documents(spark, sfDir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+      // BPE-ish: alpha runs, digit runs and single punct chars each count
+      size(filter(split(col("text"), "(?<=[^a-zA-Z0-9])|(?=[^a-zA-Z0-9])"),
+        t => length(t) > 0 && t =!= " ")).as("bpe_tokens"))
+  }
+
+  /** N-gram-heuristic language ID over {en, de, fr, es, zh}: CJK presence
+    * → zh; otherwise argmax of per-language marker-token hits. A
+    * deterministic heuristic (SURVEY-mandated text-analysis op); compared
+    * against the corpus `lang` label for an agreement metric. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+      "es" -> Seq("el", "los", "las", "es", "un", "una", "que", "por"))
+    val d = documents(spark, sfDir)
+    val words = split(lower(col("text")), "\\s+")
+    val scored = markers.foldLeft(d.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (l, ms)) =>
+        df.withColumn(s"score_$l", size(filter(words, w => w.isin(ms: _*))))
+    }
+    val hasCjk = col("text").rlike("[\\u4e00-\\u9fff]")
+    scored
+      .withColumn("predicted_lang",
+        when(hasCjk, lit("zh")).otherwise(
+          // deterministic argmax with fixed tie order en>de>fr>es
+          when(col("score_en") >= col("score_de") &&
+               col("score_en") >= col("score_fr") &&
+               col("score_en") >= col("score_es"), "en")
+            .when(col("score_de") >= col("score_fr") &&
+                  col("score_de") >= col("score_es"), "de")
+            .when(col("score_fr") >= col("score_es"), "fr")
+            .otherwise("es")))
+      .select(col("doc_id"), col("lang"), col("predicted_lang"),
+        (col("lang") === col("predicted_lang")).as("agree"))
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-style): Rabin-Karp over
+    * character 16-grams, keep the k smallest hashes → a compact,
+    * order-insensitive sketch for near-dup triage. Deterministic. */
+  def fingerprint(text: String, window: Int = 16, k: Int = 8): Array[Long] = {
+    if (text == null || text.length < window) return Array.empty
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * B + text.charAt(i); i += 1 }
+    val heap = new java.util.PriorityQueue[java.lang.Long](k + 1,
+      java.util.Collections.reverseOrder[java.lang.Long]())
+    def offer(x: Long): Unit = {
+      val v = java.lang.Long.valueOf(x)
+      if (heap.size < k) { if (!heap.contains(v)) heap.add(v) }
+      else if (x < heap.peek() && !heap.contains(v)) { heap.poll(); heap.add(v) }
+    }
+    offer(h)
+    i = window
+    while (i < text.length) {
+      h = (h - text.charAt(i - window) * pow) * B + text.charAt(i)
+      offer(h)
+      i += 1
+    }
+    val out = new Array[Long](heap.size)
+    var j = out.length - 1
+    while (j >= 0) { out(j) = heap.poll(); j -= 1 }
+    out.sorted
+  }
+
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val fpUdf = udf((t: String) => fingerprint(t))
+    documents(spark, sfDir)
+      .select(col("doc_id"), fpUdf(col("text")).as("fingerprint"))
+  }
+}

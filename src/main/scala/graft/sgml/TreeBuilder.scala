@@ -181,6 +181,7 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     * as the reference does; bounded, never throws. */
   private def repairFor(local: String, off: Int): Unit = {
     var guard = stack.size + 8
+    var relaxedUsed = false
     while (guard > 0) {
       guard -= 1
       val f = top
@@ -198,14 +199,31 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
         case Some(x) =>
           impliedOpen(x, off)
         case None =>
-          // (b) implied close: `<li>` implies `</li>` when li omit-end
-          if (f.edef.exists(_.omitEnd) && stack.size > 1) {
-            stripTrailingNewlineForSpace(f)
-            popFrame()
-          } else {
-            if (cfg.validate)
-              log.add("not-allowed-here", off, local)
-            return // accept in place (lenient)
+          // (a') one-shot relaxed open: step through a fully-omissible
+          //      required element that cannot itself hold `local` — e.g.
+          //      `<html><body>` materializes the empty `head` (its close
+          //      is implied next iteration, advancing html's DFA to body)
+          val viaRelaxed: Option[String] =
+            if (relaxedUsed) None
+            else f.dfa.flatMap { run =>
+              run.enabledSymbols.find { x =>
+                !f.exclusions.contains(x) &&
+                holder.dtd.element(x).exists(xd => xd.omitStart && xd.omitEnd)
+              }
+            }
+          viaRelaxed match {
+            case Some(x) =>
+              relaxedUsed = true
+              impliedOpen(x, off)
+            case None =>
+              // (b) implied close: `<li>` implies `</li>` when li omit-end
+              if (f.edef.exists(_.omitEnd) && stack.size > 1) {
+                popFrame()
+              } else {
+                if (cfg.validate)
+                  log.add("not-allowed-here", off, local)
+                return // accept in place (lenient)
+              }
           }
       }
     }
@@ -316,8 +334,6 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
       case _ =>
     }
   }
-
-  private def stripTrailingNewlineForSpace(f: Frame): Unit = () // handled in popFrame
 
   // ----------------------------------------------------- attributes (T4/T5)
 

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Spark-surface integration tests: the mapPartitions extraction kernel,
+  * interleaved media passthrough through the Dataset API, lineage rows,
+  * size-aware skew repartition, plan shape (pushdown before the opaque
+  * kernel), and the training-data ops. */
+class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def cfg = SgmlExtract.Config(dialect = "html4", space = "preserve")
+
+  test("extract parses interleaved docs end-to-end (identity on plain text)") {
+    import spark.implicits._
+    val docs = SgmlExtract.wrapDocuments(spark, sf)
+    val out = SgmlExtract.extract(docs, cfg)
+    val joined = out.toDF().as("o")
+      .join(spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").cast("string").as("doc_id"), col("text")).as("d"), "doc_id")
+    val bad = joined.filter(
+      size(col("spans")) =!= 1 || col("spans")(0)("text") =!= col("text")).count()
+    assert(bad == 0)
+    assert(out.count() == 500)
+  }
+
+  test("interleaved media spans pass through in order") {
+    import spark.implicits._
+    val ds = Seq(
+      Doc("a", Seq(
+        InSpan("text", "<p>x", null, 0),
+        InSpan("media", "", "vid.mp4", 10),
+        InSpan("text", "y</p>", null, 20)))).toDS()
+    val r = SgmlExtract.extract(ds, cfg).collect()(0)
+    assert(r.spans.map(s => (s.kind, s.text, s.media_ref)) == Seq(
+      ("text", "x", null), ("media", "", "vid.mp4"), ("text", "y", null)))
+    assert(r.spans.map(_.offset) == r.spans.map(_.offset).sorted)
+  }
+
+  test("poisoned doc yields error row, not task failure") {
+    import spark.implicits._
+    val ds = Seq(
+      Doc("ok", Seq(InSpan("text", "<p>fine</p>", null, 0))),
+      Doc("null-spans", null),
+      Doc("huge", Seq(InSpan("text", "<p>" + ("x" * 100), null, 0)))).toDS()
+    val small = SgmlExtract.Config(dialect = "html4", space = "preserve", maxDocChars = 50)
+    val rs = SgmlExtract.extract(ds, small).collect().sortBy(_.doc_id)
+    assert(rs.length == 3)
+    val huge = rs.find(_.doc_id == "huge").get
+    assert(huge.errors.exists(_.code == "doc-too-large"))
+    assert(rs.find(_.doc_id == "ok").get.errors.isEmpty)
+  }
+
+  test("lineage: one row per parse partition, totals match") {
+    import spark.implicits._
+    val docs = SgmlExtract.wrapDocuments(spark, sf).repartition(3)
+    val ex = SgmlExtract.extract(docs, cfg)
+    val lin = SgmlExtract.lineage(ex, "run-1").collect()
+    assert(lin.length == 3)
+    assert(lin.map(_.getAs[Long]("docs")).sum == 500)
+    assert(lin.forall(_.getAs[String]("run_id") == "run-1"))
+  }
+
+  test("size-aware repartition isolates whales") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i => Doc(s"d$i", Seq(InSpan("text", "small", null, 0)))) ++
+      Seq(Doc("whale1", Seq(InSpan("text", "w" * 3000, null, 0))),
+          Doc("whale2", Seq(InSpan("text", "w" * 3000, null, 0))))
+    val df = docs.toDS().toDF()
+    val rep = SgmlExtract.sizeAwareRepartition(df, 4, whaleChars = 1000)
+    val parts = rep.withColumn("pid", spark_partition_id())
+      .filter(col("doc_id").startsWith("whale"))
+      .select("doc_id", "pid").as[(String, Int)].collect().toMap
+    // whales keyed individually — they land by their own key, not the
+    // shared hash buckets (distinct keys; may or may not collide by hash,
+    // but each occupies exactly one partition and processing is bounded)
+    assert(parts.size == 2)
+  }
+
+  test("sgml_spans UDF surface (LATERAL VIEW ergonomics)") {
+    SgmlExtract.registerUdfs(spark)
+    val n = spark.sql(
+      """SELECT s.kind, s.text FROM (SELECT '<ul><li>a<li>b</ul>' AS m)
+        |LATERAL VIEW explode(sgml_spans(m, 'html4', 'sgml')) t AS s""".stripMargin)
+      .collect()
+    assert(n.map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("plan shape: column pruning reaches the scan before the kernel") {
+    val docs = SgmlExtract.wrapDocuments(spark, sf)
+    val plan = docs.queryExecution.executedPlan.toString
+    // only doc_id and text may be read — lang/source/n_chars pruned
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("n_chars"), plan)
+  }
+
+  test("dedup: exact finds injected duplicates; minhash finds near-dups") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    assert(Dedup.ngramJaccard("a b c d e f", "a b c d e f") == 1.0)
+    assert(Dedup.ngramJaccard("a b c d e f", "x y z w v u") == 0.0)
+    val near = Dedup.ngramJaccard(
+      "the quick brown fox jumps over the lazy dog today",
+      "the quick brown fox jumps over the lazy cat today")
+    assert(near > 0.3 && near < 1.0)
+    // simhash of near-identical texts within small hamming distance
+    val h1 = Dedup.simhash("the quick brown fox jumps over the lazy dog " * 5)
+    val h2 = Dedup.simhash(("the quick brown fox jumps over the lazy dog " * 5) + "tail")
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 8)
+  }
+
+  test("knn: brute-force exact ranks correctly; LSH restricts to buckets") {
+    import graft.ops.Similarity
+    val exact = Similarity.knnBruteForce(spark, sf, numQueries = 5, k = 5).collect()
+    assert(exact.length == 25) // 5 queries × 5 ranked neighbors
+    val ranks = exact.groupBy(_.getLong(0)).values
+    assert(ranks.forall(_.map(_.getInt(1)).sorted.sameElements(1 to 5)))
+    // LSH is approximate: candidates come only from the query's bucket
+    val buckets = Similarity.lshBuckets(spark, sf, nPlanes = 2)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val approx = Similarity.knnLsh(spark, sf, numQueries = 5, k = 5, nPlanes = 2).collect()
+    assert(approx.nonEmpty)
+    assert(approx.forall(r => buckets(r.getLong(2)) == buckets(r.getLong(0))))
+    // with 2 planes (4 big buckets), top-1 recall is usually non-zero; the
+    // property that matters structurally is determinism
+    val again = Similarity.knnLsh(spark, sf, numQueries = 5, k = 5, nPlanes = 2).collect()
+    assert(approx.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("media stub pipeline: deterministic metadata, joinable to spans") {
+    import graft.ops.MediaOps
+    val meta = MediaOps.decodeStub(MediaOps.syntheticAssets(spark, sf))
+    val rows = meta.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(m => m.width >= 16 && m.feature.length == 8))
+    // deterministic: same input → same output
+    val again = MediaOps.decodeStub(MediaOps.syntheticAssets(spark, sf)).collect()
+    assert(rows.map(_.media_ref).sorted.sameElements(again.map(_.media_ref).sorted))
+    val spans = SparkEntry.queries("x2_parse_markup_spans")(spark, sf)
+    val enriched = MediaOps.enrichSpans(spans, meta.toDF())
+    assert(enriched.filter(col("mime").isNotNull).count() == 500)
+  }
+}
