@@ -37,37 +37,53 @@ object SgmlExtract {
       maxDocChars = maxDocChars)
   }
 
-  /** Parse one interleaved doc: text spans feed the incremental parser in
-    * order, media spans pass through at their offsets (F14). */
-  def parseDoc(doc: Doc, cfg: ParserConfig): Extracted = {
-    try {
-      val p = new SgmlParser(cfg)
-      if (doc.spans != null) doc.spans.foreach { s =>
-        s.kind match {
-          case "media" => p.media(s.media_ref, s.offset)
-          case _       => if (s.text != null) p.feed(s.text, s.offset)
-        }
+  /** Parse one interleaved doc with the GIVEN parser instance (reset
+    * first): text spans feed the incremental parser in order, media spans
+    * pass through at their offsets (F14). The parser is reused across the
+    * partition's docs — per-doc construction of the tokenizer/builder/
+    * buffers dominated small-doc throughput (measured: GC-bound at 32
+    * cores before reuse). */
+  def parseDocWith(p: SgmlParser, doc: Doc, cfg: ParserConfig): Extracted = {
+    p.reset()
+    if (doc.spans != null) doc.spans.foreach { s =>
+      s.kind match {
+        case "media" => p.media(s.media_ref, s.offset)
+        case _       => if (s.text != null) p.feed(s.text, s.offset)
       }
-      val r = p.finish()
-      Extracted(
-        doc.doc_id,
-        r.spans(cfg).map(s => OutSpan(s.kind, s.text, s.media_ref, s.offset)),
-        r.errors.map(e => ErrRow(e.code, e.off, e.detail)))
-    } catch {
-      case e: Throwable => // poisoned doc → error row, never a failed task
+    }
+    val r = p.finish()
+    Extracted(
+      doc.doc_id,
+      r.spans(cfg).map(s => OutSpan(s.kind, s.text, s.media_ref, s.offset)),
+      r.errors.map(e => ErrRow(e.code, e.off, e.detail)))
+  }
+
+  /** Single-doc convenience (fresh parser). */
+  def parseDoc(doc: Doc, cfg: ParserConfig): Extracted =
+    try parseDocWith(new SgmlParser(cfg), doc, cfg)
+    catch {
+      case e: Throwable =>
         Extracted(doc.doc_id, Seq.empty,
           Seq(ErrRow("internal-error", 0, String.valueOf(e.getMessage).take(200))))
     }
-  }
 
   /** The flagship transform: Dataset[Doc] → Dataset[Extracted], one narrow
-    * stage (SURVEY.md §3: no shuffle; ParserConfig built once per
+    * stage (SURVEY.md §3: no shuffle; ParserConfig + ONE reused parser per
     * partition, DTD cached once per JVM via HtmlDtd's lazy val). */
   def extract(ds: Dataset[Doc], config: Config): Dataset[Extracted] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val cfg = config.toParserConfig // per-partition, not per-doc
-      it.map(parseDoc(_, cfg))
+      var parser = new SgmlParser(cfg)
+      it.map { doc =>
+        try parseDocWith(parser, doc, cfg)
+        catch {
+          case e: Throwable => // poisoned doc → error row, never a failed
+            parser = new SgmlParser(cfg) // state unknown after throw: replace
+            Extracted(doc.doc_id, Seq.empty,
+              Seq(ErrRow("internal-error", 0, String.valueOf(e.getMessage).take(200))))
+        }
+      }
     }
   }
 
@@ -110,6 +126,20 @@ object SgmlExtract {
             (length(col("text")) + lit(100000)).as("offset"))
         ).as("spans"))
       .as[Doc]
+  }
+
+  /** Columnar extraction via the native Catalyst expression
+    * (graft.functions.ExtractSpansExpr): no Doc/Extracted encoder
+    * round-trip, inputs stay UTF8String off the vectorized Parquet
+    * reader. Preferred at scale; `extract` (typed) has identical
+    * semantics. Registers the function on the session if absent. */
+  def extractDf(df: DataFrame, config: Config): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.catalog.functionExists("extract_spans"))
+      graft.functions.ExtractSpansExpr.register(spark)
+    df.select(col("doc_id"),
+        expr(s"extract_spans(spans, '${config.dialect}', '${config.space}')").as("r"))
+      .select(col("doc_id"), col("r.spans").as("spans"), col("r.errors").as("errors"))
   }
 
   /** SQL surface: `sgml_spans(text)` → array of span structs, usable with

@@ -119,7 +119,16 @@ final case class Dtd(
     entities: Map[String, String],       // general entities → replacement text
     paramEntities: Map[String, String]) {
 
-  def element(name: String): Option[ElementDef] = elements.get(name)
+  /** Hot-path lookup: null-returning Java map avoids the per-call `Some`
+    * allocation of immutable `Map.get` (measured hotspot; `util.c`'s
+    * interned-symbol table plays the same role in the reference [V]). */
+  @transient private lazy val elemIndex: java.util.HashMap[String, ElementDef] = {
+    val m = new java.util.HashMap[String, ElementDef](elements.size * 2)
+    elements.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  def elementOrNull(name: String): ElementDef = elemIndex.get(name)
+  def element(name: String): Option[ElementDef] = Option(elemIndex.get(name))
 
   /** Merge: `this` takes priority for doctype; for declarations SGML keeps
     * the FIRST declaration seen, so existing entries in `this` win. */
@@ -151,6 +160,19 @@ final class Dfa private[sgml] (
 
   def isLast(p: Int): Boolean = lastBits(p)
   def size: Int = symOf.length
+
+  /** Positions per symbol name — one hash probe per step instead of a
+    * string-compare scan over all candidates (hot path). */
+  @transient lazy val posOfSym: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    var p = 0
+    while (p < symOf.length) {
+      val prev = m.get(symOf(p))
+      m.put(symOf(p), if (prev == null) Array(p) else prev :+ p)
+      p += 1
+    }
+    m
+  }
 }
 
 object Dfa {
@@ -263,50 +285,96 @@ object Dfa {
 }
 
 /** A running automaton for one open element: tracks candidate positions and
-  * completeness. One per TreeBuilder stack frame; cheap. */
+  * completeness. One per TreeBuilder stack frame.
+  *
+  * Allocation-free stepping (hot path at 100 TB): candidate sets are kept
+  * in two flipping int arrays with a boolean de-dup mark — no per-step
+  * collections (mirrors `model.c`'s array-walk state engine [V]). */
 final class DfaRun(val dfa: Dfa) {
-  /** Positions the next child may match. */
-  private var candidates: Array[Int] = dfa.first
+  // Candidate set = candList[0..nCand) + membership mark array. Stepping
+  // is one hash probe (posOfSym) + int ops; zero allocation after the two
+  // lazily-created scratch arrays.
+  private var candList: Array[Int] = dfa.first
+  private var nCand: Int = dfa.first.length
+  private var candMark: Array[Boolean] = null // membership of candList
+  private var nextList: Array[Int] = null
+  private var nextMark: Array[Boolean] = null
   private var complete: Boolean = dfa.nullable
+
+  private def ensure(): Unit = if (candMark == null) {
+    candMark = new Array[Boolean](dfa.size)
+    nextMark = new Array[Boolean](dfa.size)
+    nextList = new Array[Int](dfa.size)
+    val init = candList
+    candList = new Array[Int](dfa.size)
+    System.arraycopy(init, 0, candList, 0, nCand)
+    var i = 0; while (i < nCand) { candMark(candList(i)) = true; i += 1 }
+  }
 
   /** Try to consume a child element name; false = not allowed here. */
   def step(sym: String): Boolean = {
+    val ps = dfa.posOfSym.get(sym)
+    if (ps == null) return false
+    ensure()
     var matchedLast = false
-    val next = mutable.LinkedHashSet.empty[Int]
     var any = false
+    var cnt = 0
     var i = 0
-    while (i < candidates.length) {
-      val p = candidates(i)
-      if (dfa.symOf(p) == sym) {
+    while (i < ps.length) {
+      val p = ps(i)
+      if (candMark(p)) {
         any = true
         if (dfa.isLast(p)) matchedLast = true
-        next ++= dfa.follow(p)
+        val fs = dfa.follow(p)
+        var j = 0
+        while (j < fs.length) {
+          val q = fs(j)
+          if (!nextMark(q)) { nextMark(q) = true; nextList(cnt) = q; cnt += 1 }
+          j += 1
+        }
       }
       i += 1
     }
-    if (!any) false
-    else {
-      candidates = next.toArray
-      complete = matchedLast
-      true
+    if (!any) {
+      var k = 0; while (k < cnt) { nextMark(nextList(k)) = false; k += 1 }
+      return false
     }
+    // clear old membership, then swap current ↔ next (arrays reused)
+    var k = 0; while (k < nCand) { candMark(candList(k)) = false; k += 1 }
+    val tl = candList; candList = nextList; nextList = tl
+    val tm = candMark; candMark = nextMark; nextMark = tm
+    nCand = cnt
+    complete = matchedLast
+    true
   }
 
   /** Would `step(sym)` succeed, without consuming? */
   def canStep(sym: String): Boolean = {
-    var i = 0
-    while (i < candidates.length) {
-      if (dfa.symOf(candidates(i)) == sym) return true
-      i += 1
+    val ps = dfa.posOfSym.get(sym)
+    if (ps == null) return false
+    if (candMark == null) { // still on the initial `first` set
+      var i = 0
+      while (i < ps.length) {
+        var j = 0
+        while (j < nCand) { if (candList(j) == ps(i)) return true; j += 1 }
+        i += 1
+      }
+      false
+    } else {
+      var i = 0
+      while (i < ps.length) { if (candMark(ps(i))) return true; i += 1 }
+      false
     }
-    false
   }
 
-  /** Names currently enabled (for omitted-open-tag insertion search). */
-  def enabledSymbols: Iterator[String] = {
-    val seen = mutable.LinkedHashSet.empty[String]
-    candidates.foreach(p => seen += dfa.symOf(p))
-    seen.iterator
+  /** Names currently enabled (for omitted-open-tag insertion search).
+    * May repeat a name (candidate positions of the same symbol); callers
+    * only `find` over it, so duplicates are harmless and the de-dup set
+    * allocation is saved. */
+  def enabledSymbols: Iterator[String] = new Iterator[String] {
+    private var i = 0
+    def hasNext: Boolean = i < nCand
+    def next(): String = { val s = dfa.symOf(candList(i)); i += 1; s }
   }
 
   def isComplete: Boolean = complete

@@ -10,12 +10,21 @@ package graft.sgml
   */
 final class SgmlParser(cfg: ParserConfig) {
 
-  private val holder = new DtdHolder(
-    if (cfg.dialect.htmlDtd) HtmlDtd.dtd else Dtd.empty)
+  private val initialDtd = if (cfg.dialect.htmlDtd) HtmlDtd.dtd else Dtd.empty
+  private val holder = new DtdHolder(initialDtd)
   private val log = new ErrorLog(cfg.maxErrors)
   private val builder = new TreeBuilder(cfg, holder, log)
   private val tokenizer = new Tokenizer(cfg, holder, builder.accept, log)
   private var chars = 0L
+
+  /** Reset for cross-document reuse inside one task (per-doc isolation:
+    * a document's internal DTD subset never leaks to the next doc). */
+  def reset(): this.type = {
+    holder.dtd = initialDtd
+    log.reset(); builder.reset(); tokenizer.reset()
+    chars = 0
+    this
+  }
 
   /** Feed a chunk of markup text starting at char offset `baseOffset`.
     * Repeated calls continue the same parse (incremental API). */

@@ -70,6 +70,21 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
   /** Reset the running char offset (interleaved-input base per span). */
   def setOffset(off: Int): Unit = pos = off
 
+  /** Full reset for cross-document reuse (one tokenizer per partition —
+    * kills the per-doc fixed allocation that dominates small docs). */
+  def reset(): Unit = {
+    state = S_TEXT; pos = 0; frozen = false
+    textBuf.setLength(0); textStart = 0
+    nameBuf.setLength(0); tagStart = 0; attrs = Nil
+    attrName.setLength(0); attrVal.setLength(0); attrOff = 0; quote = 0
+    declBuf.setLength(0); declStart = 0; declQuote = 0; declBracket = 0
+    piBuf.setLength(0); piStart = 0
+    msKw.setLength(0); msDepth = 0; msIgnoreDepth = 0
+    rawBuf.setLength(0); rawStart = 0; rawIsCdata = true; rawEndTag = ""
+    etBuf.setLength(0); rawLtPos = 0
+    entBuf.setLength(0); entStart = 0; entReturn = S_TEXT; injectDepth = 0
+  }
+
   def feed(s: String): Unit = {
     var i = 0
     while (i < s.length) { push(s.charAt(i)); i += 1 }
@@ -627,4 +642,5 @@ final class ErrorLog(max: Int) {
   }
   def count: Int = n
   def result(): Vector[ParseErr] = b.result()
+  def reset(): Unit = { b.clear(); n = 0; overflowed = false }
 }

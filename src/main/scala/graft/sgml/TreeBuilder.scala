@@ -67,6 +67,14 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     root.children.toVector
   }
 
+  /** Full reset for cross-document reuse (paired with Tokenizer.reset). */
+  def reset(): Unit = {
+    stack.clear()
+    root.children.clear()
+    root.sawText = false
+    stack += root
+  }
+
   // ----------------------------------------------------------- open/close
 
   private def onOpen(rawName: String, rawAttrs: List[RawAttr],
@@ -102,8 +110,8 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
       val preserve = xmlSpaceOf(rawAttrs).getOrElse(top.spacePreserve)
       stack += new Frame(name, attrs, off, edef,
         edef.flatMap(_.dfa).map(new DfaRun(_)),
-        top.exclusions ++ edef.map(_.exclusions).getOrElse(Set.empty),
-        top.inclusions ++ edef.map(_.inclusions).getOrElse(Set.empty),
+        mergedSet(top.exclusions, edef.map(_.exclusions).getOrElse(Set.empty)),
+        mergedSet(top.inclusions, edef.map(_.inclusions).getOrElse(Set.empty)),
         scope, preserve)
     }
   }
@@ -190,9 +198,11 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
       //     contain `local` (e.g. <table><tr> → insert <tbody>)
       val viaOpen: Option[String] = f.dfa.flatMap { run =>
         run.enabledSymbols.find { x =>
-          !f.exclusions.contains(x) &&
-          holder.dtd.element(x).exists(xd => xd.omitStart &&
-            (xd.containable.contains(local) || xd.content == ContentKind.Any))
+          !f.exclusions.contains(x) && {
+            val xd = holder.dtd.elementOrNull(x)
+            xd != null && xd.omitStart &&
+              (xd.containable.contains(local) || xd.content == ContentKind.Any)
+          }
         }
       }
       viaOpen match {
@@ -207,8 +217,10 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
             if (relaxedUsed) None
             else f.dfa.flatMap { run =>
               run.enabledSymbols.find { x =>
-                !f.exclusions.contains(x) &&
-                holder.dtd.element(x).exists(xd => xd.omitStart && xd.omitEnd)
+                !f.exclusions.contains(x) && {
+                  val xd = holder.dtd.elementOrNull(x)
+                  xd != null && xd.omitStart && xd.omitEnd
+                }
               }
             }
           viaRelaxed match {
@@ -238,7 +250,8 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
       if (acceptsText(f, wsOnly = false)) return
       val viaOpen: Option[String] = f.dfa.flatMap { run =>
         run.enabledSymbols.find { x =>
-          holder.dtd.element(x).exists(xd => xd.omitStart && xd.mixed)
+          val xd = holder.dtd.elementOrNull(x)
+          xd != null && xd.omitStart && xd.mixed
         }
       }
       viaOpen match {
@@ -260,10 +273,15 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     val attrs = typedAttrs(local, Nil, edef, top.nsScope, off)
     stack += new Frame(name, attrs, off, edef,
       edef.flatMap(_.dfa).map(new DfaRun(_)),
-      top.exclusions ++ edef.map(_.exclusions).getOrElse(Set.empty),
-      top.inclusions ++ edef.map(_.inclusions).getOrElse(Set.empty),
+      mergedSet(top.exclusions, edef.map(_.exclusions).getOrElse(Set.empty)),
+      mergedSet(top.inclusions, edef.map(_.inclusions).getOrElse(Set.empty)),
       top.nsScope, top.spacePreserve)
   }
+
+  /** Avoid Set concat allocation in the common no-exceptions case (HTML4:
+    * most elements declare no inclusions/exclusions). */
+  private def mergedSet(parent: Set[String], own: Set[String]): Set[String] =
+    if (own.isEmpty) parent else if (parent.isEmpty) own else parent ++ own
 
   private def stepParent(local: String, off: Int): Unit = {
     val f = top
@@ -309,12 +327,15 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     // boundaries, comments and injected media must not split runs
     // unless markup intervened — the tokenizer already coalesces;
     // this handles re-tokenized entity content)
-    top.children.lastOption match {
-      case Some(Node.Text(prev, praw, poff)) if praw == raw && !raw =>
-        top.children(top.children.size - 1) = Node.Text(prev + s, raw, poff)
-      case _ =>
-        top.children += Node.Text(s, raw, off)
-    }
+    val ch = top.children
+    val mergeable = !raw && ch.nonEmpty && (ch(ch.size - 1) match {
+      case Node.Text(_, false, _) => true
+      case _ => false
+    })
+    if (mergeable) {
+      val Node.Text(prev, _, poff) = ch(ch.size - 1): @unchecked
+      ch(ch.size - 1) = Node.Text(prev + s, raw, poff)
+    } else ch += Node.Text(s, raw, off)
   }
 
   private def effectiveSpace: SpaceMode =
@@ -324,7 +345,7 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     if (f.spacePreserve) return
     cfg.space match {
       case SpaceMode.SgmlMode | SpaceMode.Default =>
-        f.children.lastOption match {
+        (if (f.children.isEmpty) None else Some(f.children(f.children.size - 1))) match {
           case Some(Node.Text(s, false, off)) =>
             val t = stripTrailingNewlineStr(s)
             if (t.isEmpty) f.children.remove(f.children.size - 1)
@@ -340,6 +361,7 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
   private def typedAttrs(rawName: String, rawAttrs: List[RawAttr],
       edef: Option[ElementDef], scope: Map[String, String], off: Int): List[Attr] = {
     val decls = edef.map(_.attrs).getOrElse(Map.empty)
+    if (rawAttrs.isEmpty && decls.isEmpty) return Nil
     val seen = mutable.LinkedHashMap.empty[String, Attr]
     rawAttrs.foreach { ra =>
       val qn = if (cfg.dialect.namespaces) qualify(ra.name, scope, isAttr = true)

@@ -41,6 +41,25 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 500)
   }
 
+  test("catalyst expression path ≡ typed mapPartitions path") {
+    import spark.implicits._
+    val docs = SgmlExtract.wrapDocumentsMarked(spark, sf)
+    val typed = SgmlExtract.extract(docs, cfg).toDF()
+    val exprd = SgmlExtract.extractDf(docs.toDF(), cfg)
+    assert(typed.schema.map(f => (f.name, f.dataType)) ===
+      exprd.schema.map(f => (f.name, f.dataType)))
+    val diff = typed.as("a").join(exprd.as("b"), "doc_id")
+      .filter(col("a.spans") =!= col("b.spans") || col("a.errors") =!= col("b.errors"))
+    assert(diff.count() === 0)
+    assert(exprd.count() === 500)
+    // SQL surface via the registered function
+    docs.toDF().createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql(
+      "SELECT doc_id, extract_spans(spans, 'html4', 'preserve').spans AS spans FROM docs_v")
+    assert(viaSql.select(sum(size(col("spans")))).collect()(0).getLong(0) ===
+      exprd.select(sum(size(col("spans")))).collect()(0).getLong(0))
+  }
+
   test("interleaved media spans pass through in order") {
     import spark.implicits._
     val ds = Seq(
