@@ -29,12 +29,14 @@ object SgmlExtract {
       dialect: String = "html4",
       space: String = "sgml",
       maxErrors: Int = 100,
-      maxDocChars: Int = 64 << 20) {
+      maxDocChars: Int = 64 << 20,
+      boilerplate: Boolean = false) {
     def toParserConfig: ParserConfig = ParserConfig(
       dialect = Dialect.parse(dialect),
       space = SpaceMode.parse(space),
       maxErrors = maxErrors,
-      maxDocChars = maxDocChars)
+      maxDocChars = maxDocChars,
+      boilerplate = boilerplate)
   }
 
   /** Parse one interleaved doc with the GIVEN parser instance (reset
@@ -128,6 +130,26 @@ object SgmlExtract {
       .as[Doc]
   }
 
+  /** Wrap with realistic page chrome (head/style, nav of links, footer)
+    * around the document text — the boilerplate-strip stage must recover
+    * exactly the main text, which keeps the DuckDB oracle trivial. */
+  def wrapDocumentsBoiler(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").cast("string").as("doc_id"),
+        array(struct(
+          lit("text").as("kind"),
+          concat(
+            lit("<html><head><title>Page</title><style>p{color:red}</style>" +
+              "</head><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a>" +
+              " <a href=\"/b\">More</a></nav><div><a href=\"/x\">Related one</a>" +
+              " <a href=\"/y\">Related two</a></div><p>"),
+            col("text"),
+            lit("<footer>(c) corp</footer></body></html>")).as("text"),
+          lit(null).cast("string").as("media_ref"),
+          lit(0).as("offset"))).as("spans"))
+  }
+
   /** Columnar extraction via the native Catalyst expression
     * (graft.functions.ExtractSpansExpr): no Doc/Extracted encoder
     * round-trip, inputs stay UTF8String off the vectorized Parquet
@@ -138,7 +160,8 @@ object SgmlExtract {
     if (!spark.catalog.functionExists("extract_spans"))
       graft.functions.ExtractSpansExpr.register(spark)
     df.select(col("doc_id"),
-        expr(s"extract_spans(spans, '${config.dialect}', '${config.space}')").as("r"))
+        expr(s"extract_spans(spans, '${config.dialect}', '${config.space}', " +
+          s"${config.boilerplate})").as("r"))
       .select(col("doc_id"), col("r.spans").as("spans"), col("r.errors").as("errors"))
   }
 

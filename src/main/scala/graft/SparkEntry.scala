@@ -54,6 +54,17 @@ object SparkEntry {
       extractPreserve(s, dir, marked = true)
         .select(col("doc_id"), size(col("errors")).cast("long").as("n_errors"))
     }),
+    "x4_boilerplate_strip" -> ((s, dir) => {
+      // main-content extraction: chrome (head/nav/link-lists/footer)
+      // stripped, exactly the article text survives
+      val docs = SgmlExtract.wrapDocumentsBoiler(s, dir)
+      SgmlExtract.extractDf(docs,
+          SgmlExtract.Config(dialect = "html4", space = "preserve", boilerplate = true))
+        .select(
+          col("doc_id"),
+          expr("aggregate(spans, '', (acc, sp) -> acc || sp.text)").as("main_text"),
+          size(col("spans")).cast("long").as("n_spans"))
+    }),
 
     // ---- relational ops around the kernel --------------------------------
     "q1_lineitem_agg" -> ((s, dir) => {
@@ -85,6 +96,12 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type").as("first_event_type"))
     }),
+
+    // ---- xpath query surface (reference xpath.pl — SURVEY.md §2.4) -------
+    "xq1_xpath_child" -> ((s, dir) => XPathOps.childAxis(s, dir)),
+    "xq2_xpath_descendant" -> ((s, dir) => XPathOps.descendantAll(s, dir)),
+    "xq3_xpath_positional" -> ((s, dir) => XPathOps.positional(s, dir)),
+    "xq4_xpath_window" -> ((s, dir) => XPathOps.positionalWindow(s, dir)),
 
     // ---- deduplication ----------------------------------------------------
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
@@ -136,6 +153,35 @@ object SparkEntry {
         |  'asset_' || CAST(doc_id AS VARCHAR) || '.bin' FROM documents""".stripMargin,
     "x3_parse_errors" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS n_errors FROM documents",
+    "x4_boilerplate_strip" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS main_text,
+        | CAST(1 AS BIGINT) AS n_spans FROM documents""".stripMargin,
+    "xq1_xpath_child" ->
+      """SELECT n_nationkey AS nation_key, n_name AS name,
+        | CAST(n_nationkey AS BIGINT) AS key_attr,
+        | CAST(n_regionkey AS DOUBLE) AS region_num,
+        | n_name AS name_norm FROM nation""".stripMargin,
+    "xq2_xpath_descendant" ->
+      """SELECT n_regionkey AS region_key,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) - 1 AS BIGINT) AS pos,
+        | n_name AS name FROM nation""".stripMargin,
+    "xq3_xpath_positional" ->
+      """SELECT n_regionkey AS region_key,
+        | COALESCE(MAX(CASE WHEN rn = 2 THEN n_name END), '') AS second_nation,
+        | COALESCE(MAX(CASE WHEN rn = cnt THEN n_name END), '') AS last_nation
+        |FROM (SELECT n_regionkey, n_name,
+        |  ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn,
+        |  COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt FROM nation) t
+        |GROUP BY n_regionkey""".stripMargin,
+    "xq4_xpath_window" ->
+      """SELECT n_regionkey AS region_key,
+        | MAX(CASE WHEN rn = 2 THEN n_name END) AS second_nation,
+        | MAX(CASE WHEN rn = cnt THEN n_name END) AS last_nation
+        |FROM (SELECT n_regionkey, n_name,
+        |  ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn,
+        |  COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt FROM nation) t
+        |WHERE rn = 2 OR rn = cnt
+        |GROUP BY n_regionkey""".stripMargin,
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -36,7 +36,8 @@ case class ExtractSpansExpr(
     child: Expression,
     dialect: String,
     space: String,
-    maxErrors: Int = 100)
+    maxErrors: Int = 100,
+    boilerplate: Boolean = false)
   extends UnaryExpression with CodegenFallback {
 
   import ExtractSpansExpr._
@@ -64,7 +65,8 @@ case class ExtractSpansExpr(
   }
 
   @transient private lazy val cfg: ParserConfig =
-    SgmlExtract.Config(dialect = dialect, space = space, maxErrors = maxErrors).toParserConfig
+    SgmlExtract.Config(dialect = dialect, space = space, maxErrors = maxErrors,
+      boilerplate = boilerplate).toParserConfig
 
   // One parser per thread: expression instances can be shared across the
   // tasks of a local-mode executor, and the parser is stateful.
@@ -161,14 +163,22 @@ object ExtractSpansExpr {
       s"extract_spans: $what must be a string literal, got $other")
   }
 
-  /** Builder used by the function registry: 1-3 args. */
+  private def litBool(e: Expression, what: String): Boolean = e match {
+    case Literal(b: java.lang.Boolean, BooleanType) => b
+    case other => throw new IllegalArgumentException(
+      s"extract_spans: $what must be a boolean literal, got $other")
+  }
+
+  /** Builder used by the function registry: 1-4 args. */
   def fromArgs(args: Seq[Expression]): ExtractSpansExpr = args match {
     case Seq(c)       => ExtractSpansExpr(c, "html4", "preserve")
     case Seq(c, d)    => ExtractSpansExpr(c, litStr(d, "dialect", Dialects), "preserve")
     case Seq(c, d, s) => ExtractSpansExpr(c, litStr(d, "dialect", Dialects),
                                              litStr(s, "space", Spaces))
+    case Seq(c, d, s, b) => ExtractSpansExpr(c, litStr(d, "dialect", Dialects),
+      litStr(s, "space", Spaces), boilerplate = litBool(b, "boilerplate"))
     case _ => throw new IllegalArgumentException(
-      "extract_spans(spans[, dialect[, space]]) takes 1-3 arguments")
+      "extract_spans(spans[, dialect[, space[, boilerplate]]]) takes 1-4 arguments")
   }
 
   val info: ExpressionInfo = new ExpressionInfo(

@@ -95,7 +95,10 @@ final case class ParserConfig(
     /** qualify_attributes(true): apply default namespace to attributes too. */
     qualifyAttributes: Boolean = false,
     /** Emit DFA validation errors (not-allowed-here / incomplete-content). */
-    validate: Boolean = false)
+    validate: Boolean = false,
+    /** Main-content extraction: strip boilerplate subtrees before span
+      * emission (OFF for reference conformance — Boilerplate.scala). */
+    boilerplate: Boolean = false)
 
 /** Typed attribute value (`parser.c — attribute value conversion`;
   * `sgml2pl.c — typed value → Prolog term` [V]). */
@@ -155,5 +158,7 @@ final case class Span(kind: String, text: String, media_ref: String, offset: Int
 
 /** Result of parsing one document. */
 final case class ParseResult(content: Vector[Node], errors: Vector[ParseErr]) {
-  def spans(cfg: ParserConfig): Vector[Span] = SpanEmitter.emit(content, cfg)
+  def spans(cfg: ParserConfig): Vector[Span] =
+    SpanEmitter.emit(
+      if (cfg.boilerplate) Boilerplate.strip(content) else content, cfg)
 }

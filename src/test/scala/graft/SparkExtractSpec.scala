@@ -60,6 +60,33 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
       exprd.select(sum(size(col("spans")))).collect()(0).getLong(0))
   }
 
+  test("boilerplate strip: chrome removed, main text + inline links survive") {
+    import graft.sgml._
+    val html = "<html><head><title>T</title><style>x{}</style></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      "<div><a href=\"/x\">Related article one</a> <a href=\"/y\">Related article two</a></div>" +
+      "<p>An article sentence with an <a href=\"/in\">inline link</a> inside." +
+      "<footer>(c)</footer></body></html>"
+    val cfg = ParserConfig(dialect = Dialect.Html4, space = SpaceMode.Preserve,
+      boilerplate = true)
+    val (spans, _) = SgmlParser.spans(html, cfg)
+    assert(spans.map(_.text).mkString ===
+      "An article sentence with an inline link inside.")
+    // off: same doc parses to full content
+    val (all, _) = SgmlParser.spans(html, cfg.copy(boilerplate = false))
+    assert(all.map(_.text).mkString.contains("Home"))
+    assert(all.map(_.text).mkString.contains("T"))
+    // spark surface end-to-end on the corpus wrap
+    val out = SgmlExtract.extractDf(
+      SgmlExtract.wrapDocumentsBoiler(spark, sf),
+      SgmlExtract.Config(dialect = "html4", space = "preserve", boilerplate = true))
+    val joined = out.as("o").join(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").cast("string").as("doc_id"), col("text")).as("d"), "doc_id")
+    assert(joined.filter(
+      expr("aggregate(spans, '', (acc, sp) -> acc || sp.text)") =!= col("text")).count() === 0)
+  }
+
   test("interleaved media spans pass through in order") {
     import spark.implicits._
     val ds = Seq(
