@@ -109,6 +109,7 @@ object SparkEntry {
     "d3_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
     "d4_simhash" -> ((s, dir) => Dedup.simhashes(s, dir)),
     "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "d6_ngram_jaccard" -> ((s, dir) => Dedup.consecutiveJaccard(s, dir)),
 
     // ---- text analysis ----------------------------------------------------
     "t1_text_stats" -> ((s, dir) => {
@@ -129,6 +130,12 @@ object SparkEntry {
     "e1_knn_exact" -> ((s, dir) =>
       Similarity.knnBruteForce(s, dir).withColumn("rank", col("rank").cast("long"))),
     "e2_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
+    // threshold 0.4: the synthetic embeddings are near-orthogonal random
+    // vectors (max pairwise cosine ≈ 0.51 at sf0.01), so a production-like
+    // 0.9+ threshold would vacuously return nothing to check
+    "e3_embedding_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDups(s, dir, minSim = 0.4)
+        .select(col("id_a"), col("id_b"))),
 
     // ---- multimodal plumbing (stubbed codec; see MediaOps) ----------------
     "m1_media_meta" -> ((s, dir) => {
@@ -220,6 +227,45 @@ object SparkEntry {
         | CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS word_count,
         | CAST(LENGTH(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS vowel_count
         |FROM documents""".stripMargin,
+    "d6_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(words) = 0 THEN []::VARCHAR[]
+        |         WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(words) - 1),
+        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    END AS sh
+        |  FROM w)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+        |       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END, 6) AS jaccard
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "t4_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> list_contains(['el','los','las','es','un','una','que','por'], x))) AS s_es
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |         WHEN s_fr >= s_es THEN 'fr'
+        |         ELSE 'es' END AS predicted_lang
+        |  FROM s)
+        |SELECT doc_id, lang, predicted_lang, (lang = predicted_lang) AS agree FROM p""".stripMargin,
     "e1_knn_exact" ->
       """SELECT query_id, rank, neighbor_id FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

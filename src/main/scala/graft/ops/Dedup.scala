@@ -98,6 +98,19 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** n-gram Jaccard as a standalone surfaced op: similarity of each
+    * consecutive doc_id pair — a deterministic, oracle-checkable slice of
+    * the same verification kernel minhashPairs uses inside buckets. The
+    * pairing join is an equi-join on doc_id+1 (no cross join). */
+  def consecutiveJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val jac = udf((x: String, y: String) => ngramJaccard(x, y))
+    d.as("a")
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(jac(col("a.text"), col("b.text")), 6).as("jaccard"))
+  }
+
   /** Exact n-gram (word 3-shingle) Jaccard similarity. */
   def ngramJaccard(a: String, b: String): Double = {
     val sa = shingles(a)

@@ -130,6 +130,21 @@ final case class Dtd(
   def elementOrNull(name: String): ElementDef = elemIndex.get(name)
   def element(name: String): Option[ElementDef] = Option(elemIndex.get(name))
 
+  /** Elements whose start tag is omissible (HTML4: html/head/body/tbody),
+    * in stable name order. The omitted-tag repair search iterates these
+    * FEW and probes the DFA per candidate — instead of scanning every
+    * enabled symbol of the failing model and hash-looking-up each
+    * (measured at ~23% of kernel CPU on the old path: a failed `<p>`
+    * inside `<p>` scanned the ~40-symbol inline group twice per doc). */
+  @transient lazy val omitStartElems: Array[ElementDef] =
+    elements.valuesIterator.filter(_.omitStart).toArray.sortBy(_.name)
+  /** Fully omissible (start+end) — the one-shot relaxed repair step. */
+  @transient lazy val omitStartEndElems: Array[ElementDef] =
+    omitStartElems.filter(_.omitEnd)
+  /** Omissible-start elements that admit #PCDATA — text repair. */
+  @transient lazy val omitStartMixedElems: Array[ElementDef] =
+    omitStartElems.filter(_.mixed)
+
   /** Merge: `this` takes priority for doctype; for declarations SGML keeps
     * the FIRST declaration seen, so existing entries in `this` win. */
   def merge(other: Dtd): Dtd = Dtd(

@@ -195,50 +195,61 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
       val f = top
       if (f.edef.isEmpty || accepts(f, local)) return
       // (a) implied open: an enabled child with omitted start tag that can
-      //     contain `local` (e.g. <table><tr> → insert <tbody>)
-      val viaOpen: Option[String] = f.dfa.flatMap { run =>
-        run.enabledSymbols.find { x =>
-          !f.exclusions.contains(x) && {
-            val xd = holder.dtd.elementOrNull(x)
-            xd != null && xd.omitStart &&
-              (xd.containable.contains(local) || xd.content == ContentKind.Any)
+      //     contain `local` (e.g. <table><tr> → insert <tbody>). Search is
+      //     inverted for speed: iterate the DTD's few omit-start elements
+      //     and probe the DFA (one hash + mark check each), never the full
+      //     enabled-symbol set.
+      val viaOpen: String = {
+        var found: String = null
+        val oss = holder.dtd.omitStartElems
+        var i = 0
+        while (found == null && i < oss.length) {
+          val xd = oss(i)
+          if ((xd.containable.contains(local) || xd.content == ContentKind.Any) &&
+              !f.exclusions.contains(xd.name) && canStepTo(f, xd.name))
+            found = xd.name
+          i += 1
+        }
+        found
+      }
+      if (viaOpen != null) {
+        impliedOpen(viaOpen, off)
+      } else {
+        // (a') one-shot relaxed open: step through a fully-omissible
+        //      required element that cannot itself hold `local` — e.g.
+        //      `<html><body>` materializes the empty `head` (its close
+        //      is implied next iteration, advancing html's DFA to body)
+        var viaRelaxed: String = null
+        if (!relaxedUsed) {
+          val oss = holder.dtd.omitStartEndElems
+          var i = 0
+          while (viaRelaxed == null && i < oss.length) {
+            val xd = oss(i)
+            if (!f.exclusions.contains(xd.name) && canStepTo(f, xd.name))
+              viaRelaxed = xd.name
+            i += 1
+          }
+        }
+        if (viaRelaxed != null) {
+          relaxedUsed = true
+          impliedOpen(viaRelaxed, off)
+        } else {
+          // (b) implied close: `<li>` implies `</li>` when li omit-end
+          if (f.edef.exists(_.omitEnd) && stack.size > 1) {
+            popFrame()
+          } else {
+            if (cfg.validate)
+              log.add("not-allowed-here", off, local)
+            return // accept in place (lenient)
           }
         }
       }
-      viaOpen match {
-        case Some(x) =>
-          impliedOpen(x, off)
-        case None =>
-          // (a') one-shot relaxed open: step through a fully-omissible
-          //      required element that cannot itself hold `local` — e.g.
-          //      `<html><body>` materializes the empty `head` (its close
-          //      is implied next iteration, advancing html's DFA to body)
-          val viaRelaxed: Option[String] =
-            if (relaxedUsed) None
-            else f.dfa.flatMap { run =>
-              run.enabledSymbols.find { x =>
-                !f.exclusions.contains(x) && {
-                  val xd = holder.dtd.elementOrNull(x)
-                  xd != null && xd.omitStart && xd.omitEnd
-                }
-              }
-            }
-          viaRelaxed match {
-            case Some(x) =>
-              relaxedUsed = true
-              impliedOpen(x, off)
-            case None =>
-              // (b) implied close: `<li>` implies `</li>` when li omit-end
-              if (f.edef.exists(_.omitEnd) && stack.size > 1) {
-                popFrame()
-              } else {
-                if (cfg.validate)
-                  log.add("not-allowed-here", off, local)
-                return // accept in place (lenient)
-              }
-          }
-      }
     }
+  }
+
+  private def canStepTo(f: Frame, sym: String): Boolean = {
+    val run = f.dfa
+    run.isDefined && run.get.canStep(sym)
   }
 
   /** Text repair — same search, driven by `mixed` instead of a name. */
@@ -248,20 +259,20 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
       guard -= 1
       val f = top
       if (acceptsText(f, wsOnly = false)) return
-      val viaOpen: Option[String] = f.dfa.flatMap { run =>
-        run.enabledSymbols.find { x =>
-          val xd = holder.dtd.elementOrNull(x)
-          xd != null && xd.omitStart && xd.mixed
-        }
+      var viaOpen: String = null
+      val oss = holder.dtd.omitStartMixedElems
+      var i = 0
+      while (viaOpen == null && i < oss.length) {
+        if (canStepTo(f, oss(i).name)) viaOpen = oss(i).name
+        i += 1
       }
-      viaOpen match {
-        case Some(x) => impliedOpen(x, off)
-        case None =>
-          if (f.edef.exists(_.omitEnd) && stack.size > 1) popFrame()
-          else {
-            if (cfg.validate) log.add("cdata-not-allowed", off, f.name)
-            return
-          }
+      if (viaOpen != null) impliedOpen(viaOpen, off)
+      else {
+        if (f.edef.exists(_.omitEnd) && stack.size > 1) popFrame()
+        else {
+          if (cfg.validate) log.add("cdata-not-allowed", off, f.name)
+          return
+        }
       }
     }
   }

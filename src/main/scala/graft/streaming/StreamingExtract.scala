@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.{Doc, Extracted, InSpan, SgmlExtract}
+
+/** One chunk of an interleaved document arriving on a stream.
+  *
+  * Mirrors the reference's incremental push API (`sgml_parse/2` with
+  * `parse(content)` + `content_length(N)` repeated across calls keeps
+  * parser state between chunks — sgml2pl.c, pl_sgml_parse [V], SURVEY.md
+  * §3 E2): a producer may deliver a document as many chunks; `seq` orders
+  * them, `last` marks completion.
+  */
+final case class Chunk(
+    doc_id: String,
+    seq: Int,
+    last: Boolean,
+    kind: String,       // 'text' | 'media'
+    text: String,
+    media_ref: String,
+    offset: Int)
+
+/** Buffered chunks for one in-flight document (the keyed state). */
+final case class DocBuffer(chunks: Seq[Chunk])
+
+/** Structured Streaming surface of the extraction engine.
+  *
+  * Two shapes (SURVEY.md §2.7 "grouping/streaming state" row):
+  *
+  * 1. Whole docs on the stream → the batch kernel applied verbatim: the
+  *    `mapPartitions` parse stage is stateless per row, so the same typed
+  *    transform runs under `readStream` unchanged (no watermark needed).
+  * 2. Chunked docs → `flatMapGroupsWithState` keyed by doc_id buffers
+  *    chunks until `last=true`, then parses the assembled doc and emits
+  *    one `Extracted` row (append mode). A processing-time timeout flushes
+  *    abandoned partials as error rows, so state size stays bounded —
+  *    at scale, state is per *in-flight* doc only, never the corpus.
+  */
+object StreamingExtract {
+
+  /** Shape 1: whole docs per row — identical kernel, streaming Dataset in,
+    * streaming Dataset out. */
+  def extractStream(docs: Dataset[Doc], cfg: SgmlExtract.Config): Dataset[Extracted] =
+    SgmlExtract.extract(docs, cfg)
+
+  /** Shape 2: chunked-doc assembly + parse.
+    *
+    * @param timeoutMs processing-time timeout after which an incomplete
+    *                  doc is emitted with an `incomplete-doc` error row;
+    *                  ≤ 0 disables the timeout (note: with a timeout the
+    *                  engine schedules continuous no-data micro-batches to
+    *                  check expiry — correct for a 24/7 ingest job, but
+    *                  bounded runs / tests should pass 0).
+    */
+  def assembleAndExtract(
+      chunks: Dataset[Chunk],
+      cfg: SgmlExtract.Config,
+      timeoutMs: Long = 0L): Dataset[Extracted] = {
+    import chunks.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    def parseBuffered(docId: String, buffered: Seq[Chunk], incomplete: Boolean): Extracted = {
+      val spans = buffered.sortBy(_.seq)
+        .map(c => InSpan(c.kind, c.text, c.media_ref, c.offset))
+      val out = SgmlExtract.parseDoc(Doc(docId, spans), cfg.toParserConfig)
+      if (incomplete)
+        out.copy(errors = out.errors :+
+          graft.ErrRow("incomplete-doc", 0, s"timed out with ${buffered.size} chunks"))
+      else out
+    }
+
+    chunks
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[DocBuffer, Extracted](
+        OutputMode.Append, timeoutConf) {
+        (docId: String, newChunks: Iterator[Chunk], state: GroupState[DocBuffer]) =>
+          if (state.hasTimedOut) {
+            val buffered = state.getOption.map(_.chunks).getOrElse(Seq.empty)
+            state.remove()
+            Iterator.single(parseBuffered(docId, buffered, incomplete = true))
+          } else {
+            val buffered = state.getOption.map(_.chunks).getOrElse(Seq.empty) ++ newChunks
+            if (buffered.exists(_.last)) {
+              state.remove()
+              Iterator.single(parseBuffered(docId, buffered, incomplete = false))
+            } else {
+              state.update(DocBuffer(buffered))
+              if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** Convenience: run a chunk stream through assembly+extract into an
+    * in-memory table (tests / demos); returns after all available data is
+    * processed. Production uses the same plan with a parquet/Iceberg sink
+    * and a durable checkpointLocation (exactly-once via the streaming
+    * commit log — the alternative resume framing to graft.Resume). */
+  def runToMemory(
+      spark: SparkSession,
+      chunks: Dataset[Chunk],
+      cfg: SgmlExtract.Config,
+      queryName: String,
+      checkpointDir: String): Unit = {
+    val q = assembleAndExtract(chunks, cfg)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.streaming.{Chunk, StreamingExtract}
+
+/** Structured Streaming surface: chunked-doc assembly with
+  * flatMapGroupsWithState must produce EXACTLY the batch kernel's output
+  * once all chunks arrive (chunked ≡ whole-input parse — the reference's
+  * incremental push API equivalence, SURVEY.md §3 E2). */
+class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def cfg = SgmlExtract.Config(dialect = "html4", space = "preserve")
+
+  private val html1 = "<html><body><p>Hello <b>world"
+  private val html1b = " of streams</b><p>second para</body></html>"
+  private val html2 = "<html><body><ul><li>one<li>two</ul></body></html>"
+
+  test("chunked streaming parse ≡ batch parse of assembled docs") {
+    import spark.implicits._
+
+    val chunks = Seq(
+      // doc A: text split across two chunks + trailing media chunk
+      Chunk("A", 0, last = false, "text", html1, null, 0),
+      Chunk("A", 1, last = false, "text", html1b, null, html1.length),
+      Chunk("A", 2, last = true, "media", "", "asset_A.png", 100000),
+      // doc B: whole in one final chunk
+      Chunk("B", 0, last = true, "text", html2, null, 0))
+
+    val mem = MemoryStream[Chunk](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    // two micro-batches: A's first chunk alone, then the rest
+    mem.addData(chunks.take(1))
+    mem.addData(chunks.drop(1))
+    StreamingExtract.runToMemory(spark, mem.toDS(), cfg, "stream_out", ckpt)
+
+    val streamed = spark.table("stream_out").as[Extracted].collect()
+      .map(e => e.doc_id -> e).toMap
+
+    val batch = Seq(
+      Doc("A", Seq(
+        InSpan("text", html1, null, 0),
+        InSpan("text", html1b, null, html1.length),
+        InSpan("media", "", "asset_A.png", 100000))),
+      Doc("B", Seq(InSpan("text", html2, null, 0))))
+      .map(d => d.doc_id -> SgmlExtract.parseDoc(d, cfg.toParserConfig)).toMap
+
+    assert(streamed.keySet === Set("A", "B"))
+    for (id <- Seq("A", "B")) {
+      assert(streamed(id).spans === batch(id).spans, s"spans differ for doc $id")
+      assert(streamed(id).errors === batch(id).errors, s"errors differ for doc $id")
+    }
+    // media passthrough kept document order in the streamed result
+    assert(streamed("A").spans.last.kind === "media")
+    assert(streamed("A").spans.last.media_ref === "asset_A.png")
+  }
+
+  test("whole-doc streaming uses the batch kernel unchanged") {
+    import spark.implicits._
+    val mem = MemoryStream[Doc](spark)
+    mem.addData(Seq(Doc("W", Seq(InSpan("text", html2, null, 0)))))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt2").toString
+    val q = StreamingExtract.extractStream(mem.toDS(), cfg)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_whole").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_whole").as[Extracted].collect()
+    assert(got.length === 1)
+    assert(got(0).spans === SgmlExtract.parseDoc(
+      Doc("W", Seq(InSpan("text", html2, null, 0))), cfg.toParserConfig).spans)
+  }
+}
