@@ -97,6 +97,36 @@ object SparkEntry {
         .select(col("user_id"), col("event_type").as("first_event_type"))
     }),
 
+    "q4_topk_revenue" -> ((s, dir) => {
+      // sort + limit / top-k (SURVEY.md §2.7): global top-10 customers by
+      // revenue — Spark executes as per-partition TakeOrdered + merge, no
+      // full sort at scale
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_custkey").asc)
+        .limit(10)
+    }),
+    "q5_no_order_customers" -> ((s, dir) => {
+      // set op (SURVEY.md §2.7): customers with no orders via EXCEPT
+      // (≡ anti-join; Spark plans a left-anti hash join)
+      val cust = s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey"))
+      val withOrders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("c_custkey"))
+      cust.except(withOrders)
+    }),
+    "q6_typed_values" -> ((s, dir) => {
+      // scalar JSON / date / cast functions + lexical validation via
+      // try_cast (SURVEY.md §2.6 xsdp_types analogue: typed conversion
+      // with graceful failure → null, never an error)
+      s.read.parquet(s"$dir/events.parquet").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        year(col("ts")).cast("long").as("yr"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr("try_cast(event_type AS double)").as("bad_num"))
+    }),
+
     // ---- xpath query surface (reference xpath.pl — SURVEY.md §2.4) -------
     "xq1_xpath_child" -> ((s, dir) => XPathOps.childAxis(s, dir)),
     "xq2_xpath_descendant" -> ((s, dir) => XPathOps.descendantAll(s, dir)),
@@ -207,6 +237,21 @@ object SparkEntry {
         | SELECT user_id, event_type,
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         | FROM events) t WHERE rn = 1""".stripMargin,
+    "q4_topk_revenue" ->
+      """SELECT o_custkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey ASC LIMIT 10""".stripMargin,
+    "q5_no_order_customers" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey AS c_custkey FROM orders""".stripMargin,
+    "q6_typed_values" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | CAST(year(ts) AS BIGINT) AS yr,
+        | strftime(ts, '%Y-%m-%d') AS day,
+        | TRY_CAST(event_type AS DOUBLE) AS bad_num
+        |FROM events""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
         | COUNT(*) AS dup_count FROM documents GROUP BY md5(text)""".stripMargin,
