@@ -172,7 +172,14 @@ object SparkEntry {
       MediaOps.decodeStub(MediaOps.syntheticAssets(s, dir)).toDF()
         .select(col("media_ref"), col("mime"), col("byte_len"),
           col("width"), col("height"), col("n_frames"))
-    })
+    }),
+    "m2_media_resize" -> ((s, dir) =>
+      MediaOps.resizeMeta(MediaOps.decodeStub(MediaOps.syntheticAssets(s, dir)).toDF())
+        .select(col("media_ref"), col("width"), col("height"),
+          col("resized_w"), col("resized_h"))),
+    "m3_frame_sample" -> ((s, dir) =>
+      MediaOps.sampleFrames(MediaOps.decodeStub(MediaOps.syntheticAssets(s, dir)).toDF())
+        .withColumn("frame_idx", col("frame_idx").cast("long")))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -78,4 +78,28 @@ object MediaOps {
     spanRows.filter(col("kind") === "media")
       .join(meta, Seq("media_ref"), "left")
   }
+
+  /** Resize to fit a bounding box, aspect preserved (integer math →
+    * deterministic). STUB: only the dimension arithmetic is real; a
+    * production codec would also re-encode pixels here. Narrow, codegen'd
+    * column expressions — no UDF needed for the geometry. */
+  def resizeMeta(meta: DataFrame, maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    // scale = min(maxW/w, maxH/h, 1) in integer arithmetic (×1e6)
+    val s = least(lit(maxW * 1000000L) / col("width"),
+      lit(maxH * 1000000L) / col("height"), lit(1000000L))
+    meta
+      .withColumn("resized_w", greatest(lit(1), (col("width") * s / 1000000L).cast("int")))
+      .withColumn("resized_h", greatest(lit(1), (col("height") * s / 1000000L).cast("int")))
+  }
+
+  /** Frame sampling for video assets: every `stride`-th frame index up to
+    * `maxFrames`, one output row per sampled frame (sequence + explode —
+    * the generator shape; at 100 TB each frame row later feeds the decode
+    * stage, so sampling BEFORE decode prunes work). */
+  def sampleFrames(meta: DataFrame, stride: Int = 30, maxFrames: Int = 8): DataFrame = {
+    meta.filter(col("mime").startsWith("video"))
+      .withColumn("frame_idx",
+        explode(slice(sequence(lit(0), col("n_frames") - 1, lit(stride)), 1, maxFrames)))
+      .select(col("media_ref"), col("n_frames"), col("frame_idx"))
+  }
 }

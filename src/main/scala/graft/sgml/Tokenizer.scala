@@ -87,7 +87,48 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
 
   def feed(s: String): Unit = {
     var i = 0
-    while (i < s.length) { push(s.charAt(i)); i += 1 }
+    val n = s.length
+    while (i < n) {
+      // Bulk fast path for the two states that dominate real documents:
+      // plain text (S_TEXT) and raw CDATA-element content (S_RAW, e.g.
+      // <script>). Scan the run up to the next state-changing char and
+      // append it in ONE StringBuilder call instead of per-char dispatch
+      // (the reference's per-char putchar loop is the model for the slow
+      // path; the bulk path is an observationally identical shortcut).
+      if (state == S_TEXT && !log.overflowed && !frozen) {
+        var j = i
+        var break = false
+        while (j < n && !break) {
+          val cc = s.charAt(j)
+          if (cc == '<' || cc == '&' || (cc == ']' && msDepth > 0)) break = true
+          else j += 1
+        }
+        if (j > i) {
+          if (textBuf.length() == 0) textStart = pos
+          textBuf.append(s, i, j)
+          pos += j - i
+          i = j
+        }
+        if (i < n) { push(s.charAt(i)); i += 1 }
+      } else if (state == S_RAW && !log.overflowed && !frozen) {
+        var j = i
+        var break = false
+        while (j < n && !break) {
+          val cc = s.charAt(j)
+          // RCDATA ('title') also stops at '&' (entity expansion)
+          if (cc == '<' || (!rawIsCdata && cc == '&')) break = true
+          else j += 1
+        }
+        if (j > i) {
+          rawBuf.append(s, i, j)
+          pos += j - i
+          i = j
+        }
+        if (i < n) { push(s.charAt(i)); i += 1 }
+      } else {
+        push(s.charAt(i)); i += 1
+      }
+    }
   }
 
   /** Interleaved media passthrough: flush pending text, emit in order. */

@@ -204,4 +204,30 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     val enriched = MediaOps.enrichSpans(spans, meta.toDF())
     assert(enriched.filter(col("mime").isNotNull).count() == 500)
   }
+
+  test("media resize + frame sampling: aspect preserved, stride respected") {
+    import graft.ops.MediaOps
+    val meta = MediaOps.decodeStub(MediaOps.syntheticAssets(spark, sf)).toDF()
+    val resized = MediaOps.resizeMeta(meta, maxW = 256, maxH = 256).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (rw, rh) = (r.getAs[Int]("resized_w"), r.getAs[Int]("resized_h"))
+      assert(rw <= 256 && rh <= 256 && rw >= 1 && rh >= 1)
+      if (w <= 256 && h <= 256) assert(rw == w && rh == h) // no upscale
+      // aspect preserved within integer rounding: rw = ⌊w·s⌋, rh = ⌊h·s⌋
+      // ⇒ |rw·h − rh·w| < w + h (each floor loses <1, scaled by the other dim)
+      assert(math.abs(rw.toLong * h - rh.toLong * w) <= (w + h).toLong)
+    }
+    val frames = MediaOps.sampleFrames(meta, stride = 30, maxFrames = 8)
+    val byRef = frames.collect().groupBy(_.getAs[String]("media_ref"))
+    assert(byRef.nonEmpty)
+    byRef.values.foreach { rows =>
+      val idxs = rows.map(_.getAs[Int]("frame_idx")).sorted
+      assert(idxs.length <= 8)
+      assert(idxs.head == 0)
+      idxs.sliding(2).foreach { case Array(a, b) => assert(b - a == 30); case _ => }
+      assert(idxs.last < rows.head.getAs[Int]("n_frames"))
+    }
+  }
 }
