@@ -165,6 +165,29 @@ object SgmlExtract {
       .select(col("doc_id"), col("r.spans").as("spans"), col("r.errors").as("errors"))
   }
 
+  /** Serialization sink (SURVEY.md §2.8 W1/W5): parse each doc and write
+    * it back as canonical XML (attributes name-sorted, no self-closing
+    * elements — deterministic byte-stable output). Narrow stage; used by
+    * the round-trip conformance query (x5) and as the re-serialization
+    * path for downstream consumers that want markup, not spans. */
+  def serializeCanonical(ds: Dataset[Doc], config: Config): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val cfg = config.toParserConfig
+      val parser = new SgmlParser(cfg)
+      it.map { doc =>
+        val r = try { parser.reset()
+          if (doc.spans != null) doc.spans.foreach { s =>
+            if (s.kind == "media") parser.media(s.media_ref, s.offset)
+            else if (s.text != null) parser.feed(s.text, s.offset)
+          }
+          parser.finish()
+        } catch { case _: Throwable => ParseResult(Vector.empty, Vector.empty) }
+        (doc.doc_id, Serializer.xml(r.content, canonical = true))
+      }
+    }.toDF("doc_id", "xml_out")
+  }
+
   /** SQL surface: `sgml_spans(text)` → array of span structs, usable with
     * LATERAL VIEW / explode (SURVEY.md §2.7 UDF surface). */
   def registerUdfs(spark: SparkSession): Unit = {

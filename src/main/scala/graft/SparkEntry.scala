@@ -66,6 +66,15 @@ object SparkEntry {
           size(col("spans")).cast("long").as("n_spans"))
     }),
 
+    "x5_serialize_roundtrip" -> ((s, dir) => {
+      // W1/W5: parse + canonical re-serialization; the DuckDB oracle
+      // reconstructs the exact expected markup (incl. the implied <head>
+      // materialized by tag-omission repair and the media passthrough)
+      val docs = SgmlExtract.wrapDocumentsMarked(s, dir)
+      SgmlExtract.serializeCanonical(docs,
+        SgmlExtract.Config(dialect = "html4", space = "preserve"))
+    }),
+
     // ---- relational ops around the kernel --------------------------------
     "q1_lineitem_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -244,6 +253,12 @@ object SparkEntry {
         | SELECT user_id, event_type,
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         | FROM events) t WHERE rn = 1""".stripMargin,
+    "x5_serialize_roundtrip" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        | '<html><head></head><body><p>' || text ||
+        | '</p><p>tail</p></body></html><img src="asset_' ||
+        | CAST(doc_id AS VARCHAR) || '.bin"/>' AS xml_out
+        |FROM documents""".stripMargin,
     "q4_topk_revenue" ->
       """SELECT o_custkey,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
