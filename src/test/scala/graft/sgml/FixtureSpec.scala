@@ -244,4 +244,63 @@ class FixtureSpec extends AnyFunSuite {
       assert(r != null)
     }
   }
+
+  test("F15 inclusion exception: +(ins|del) admits ins anywhere under body") {
+    // body declares +(ins | del) in the bundled DTD: ins is allowed even
+    // where the content model alone would reject it (SGML inclusion
+    // exceptions — dtd.h inclusion sets [V])
+    val r = SgmlParser.parse("<body><ul><ins>mark</ins><li>x</ul></body>",
+      cfg(Dialect.Html4))
+    assert(r.spans(cfg(Dialect.Html4)).map(_.text) == Vector("mark", "x"))
+    assert(!r.errors.exists(_.code == "not-allowed-here"))
+  }
+
+  test("F16 UTF-16 BOM decode (both endians)") {
+    val doc = "<d>héllo 中文</d>"
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+      doc.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    val be = Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+      doc.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    for (bytes <- Seq(le, be)) {
+      val r = SgmlParser.parseBytes(bytes, cfg(Dialect.Xml))
+      assert(r.spans(cfg(Dialect.Xml)).map(_.text) == Vector("héllo 中文"))
+      assert(r.errors.isEmpty)
+    }
+  }
+
+  test("F17 minimized attribute (<option selected>) keeps name-only attr") {
+    val r = SgmlParser.parse("<select><option selected>x</option></select>",
+      cfg(Dialect.Html4))
+    val sel = r.content.collectFirst { case e: Node.Elem => e }.get
+    val opt = sel.children.collectFirst { case e: Node.Elem => e }.get
+    // SGML minimization: bare NAME is the attr (reference maps it to
+    // name=name per HTML semantics, value render non-null)
+    assert(opt.attrs.exists(_.name == "selected"))
+    assert(r.spans(cfg(Dialect.Html4)).map(_.text) == Vector("x"))
+  }
+
+  test("F18 TEMP marked section is included") {
+    val (spans, _) = SgmlParser.spans("<d>a<![ TEMP [b]]>c</d>", cfg(Dialect.Sgml))
+    assert(spans.map(_.text) == Vector("abc"))
+  }
+
+  test("F19 SGML null end tag </> closes the current element") {
+    val r = SgmlParser.parse("<ul><li>one</><li>two</></ul>",
+      cfg(Dialect.Html4, SpaceMode.SgmlMode))
+    val ul = r.content.collectFirst { case e: Node.Elem => e }.get
+    assert(ul.children.collect { case e: Node.Elem => e.name } == Vector("li", "li"))
+    assert(r.spans(cfg(Dialect.Html4)).map(_.text) == Vector("one", "two"))
+  }
+
+  test("F20 xhtml dialect: namespace-qualified names + HTML entity table") {
+    val doc = "<html xmlns=\"http://www.w3.org/1999/xhtml\"><body>" +
+      "<p>a&nbsp;b</p></body></html>"
+    val r = SgmlParser.parse(doc, cfg(Dialect.Xhtml))
+    // default namespace qualifies elements
+    val html = r.content.collectFirst { case e: Node.Elem => e }.get
+    assert(html.name == "{http://www.w3.org/1999/xhtml}html")
+    // &nbsp; resolves via the HTML entity table even in XML syntax
+    assert(r.spans(cfg(Dialect.Xhtml)).map(_.text) == Vector("a b"))
+    assert(r.errors.isEmpty)
+  }
 }
