@@ -89,6 +89,21 @@ object SgmlExtract {
     }
   }
 
+  /** Production source: read a contract-schema table `(doc_id, spans)`
+    * from any DataSourceV2 format. Iceberg is the deployment target
+    * (`format = "iceberg"`, path = table identifier) — its jars are absent
+    * in this sandbox (SURVEY.md §1.2), so local tests use the default
+    * `parquet`; the adapter is exactly this format string. Columns are
+    * selected explicitly so pruning reaches the scan before the opaque
+    * kernel. */
+  def readDocs(spark: SparkSession, path: String,
+      format: String = "parquet"): Dataset[Doc] = {
+    import spark.implicits._
+    spark.read.format(format).load(path)
+      .select(col("doc_id").cast("string").as("doc_id"), col("spans"))
+      .as[Doc]
+  }
+
   /** Wrap the driver corpus (`documents.parquet`: doc_id int64, text, lang,
     * source, n_chars) into the contract schema — one text span at offset 0.
     * Columns pruned BEFORE the opaque kernel so the parquet scan reads only
