@@ -107,6 +107,7 @@ object Bench {
       val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       ensureCorpus(spark, sfDir, amp); spark.stop(); return
     }
+    if (args.headOption.contains("skew")) { runSkew(sfDir); return }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = session(cpus)
@@ -149,6 +150,58 @@ object Bench {
       docs / secs
     }.max
     println(f"""{"metric":"docs_per_sec","value":$tp%.0f,"unit":"docs/sec","queries":{"cpus":$cpus%s},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+
+  /** Skew demo (SURVEY.md §7 step 5; north rule "skew handled
+    * explicitly"): corpus of small docs + whale docs (~0.5 MB markup
+    * each). Compare extract wall-time when docs are hash-partitioned by
+    * doc_id (whales collide into shared tasks) vs size-aware whale
+    * round-robin isolation. Prints one JSON line with both times and the
+    * speedup. */
+  private def runSkew(sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(cpus)
+    import org.apache.spark.sql.functions._
+    val n = cpus.toInt
+    val cfg = SgmlExtract.Config(dialect = "html4", space = "preserve")
+
+    // deterministic skewed corpus: 5k small docs + 2*cpus whales of
+    // ~16 MB markup each (parse ≈ 0.4 s/whale — individually heavy, the
+    // realistic web-crawl whale shape). Build via repeat() so the plan
+    // carries a short literal, not a 16 MB one.
+    val para = "<p>" + ("lorem ipsum dolor sit amet " * 20) // ~540 chars
+    val small = spark.range(0, 5000)
+      .select(concat(lit("s"), col("id")).as("doc_id"),
+        array(struct(lit("text").as("kind"),
+          concat(lit("<html><body><p>doc "), col("id"), lit("</p></body></html>")).as("text"),
+          lit(null).cast("string").as("media_ref"), lit(0).as("offset"))).as("spans"))
+    val whales = spark.range(0, 2L * n)
+      .select(concat(lit("w"), col("id")).as("doc_id"),
+        array(struct(lit("text").as("kind"),
+          concat(lit("<html><body>"), repeat(lit(para), 30000),
+            lit("</body></html>")).as("text"),
+          lit(null).cast("string").as("media_ref"), lit(0).as("offset"))).as("spans"))
+    val corpus = small.union(whales)
+    corpus.write.mode("overwrite").parquet("/tmp/graft_bench/skew_corpus")
+    val docs = spark.read.parquet("/tmp/graft_bench/skew_corpus")
+
+    def timeIt(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      SgmlExtract.extractDf(df, cfg)
+        .select(size(col("spans")).as("s")).agg(sum(col("s"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // AQE off for this comparison: we are demonstrating OUR explicit
+    // placement, not AQE's skew splitting (which only helps join/agg
+    // shuffles, not an opaque parse stage anyway)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    timeIt(docs.repartition(n, col("doc_id"))) // warm-up (JIT + page cache)
+    val naive = (1 to 3).map(_ => timeIt(docs.repartition(n, col("doc_id")))).min
+    val salted = (1 to 3).map(_ =>
+      timeIt(SgmlExtract.sizeAwareRepartition(docs, n, whaleChars = 100000,
+        whalePartitions = 2 * n))).min
+    println(f"""{"metric":"skew_speedup","value":${naive / salted}%.2f,"unit":"x","queries":{"naive_hash_sec":$naive%.2f,"size_aware_sec":$salted%.2f,"whales":${2 * n}},"sf":"$sfDir"}""")
     spark.stop()
   }
 

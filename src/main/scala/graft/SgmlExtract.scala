@@ -215,16 +215,28 @@ object SgmlExtract {
   }
 
   /** Size-aware repartition for skewed giant docs (north rule; SURVEY.md
-    * §4.1): normal docs hash-bucket by doc_id; whales (≥ whaleChars) each
-    * get a dedicated partition key so one task never holds two whales. */
+    * §4.1): normal docs hash-bucket by doc_id into `numPartitions` tasks;
+    * whales (≥ whaleChars) are split off and ROUND-ROBIN distributed over
+    * their own `whalePartitions` tasks — a deterministic ≤⌈W/whaleParts⌉
+    * whales-per-task bound (hash placement would let whales collide).
+    * Parse cost is linear in chars, so the whale stage is byte-balanced;
+    * the union keeps both sides in one job. */
   def sizeAwareRepartition(df: DataFrame, numPartitions: Int,
-      whaleChars: Long = 8L << 20): DataFrame = {
+      whaleChars: Long = 8L << 20, whalePartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = if (whalePartitions > 0) whalePartitions else numPartitions
     val chars = expr("aggregate(spans, 0L, (acc, s) -> acc + length(coalesce(s.text, '')))")
-    df.withColumn("__part_key",
-        when(chars >= whaleChars, concat(lit("whale:"), col("doc_id")))
-          .otherwise(pmod(hash(col("doc_id")), lit(numPartitions)).cast("string")))
-      .repartition(numPartitions, col("__part_key"))
-      .drop("__part_key")
+    val tagged = df.withColumn("__is_whale", chars >= whaleChars)
+    val normals = tagged.filter(!col("__is_whale"))
+      .repartition(numPartitions, col("doc_id"))
+    // explicit slot + range partitioning → slots are chunked evenly by
+    // construction (hash or round-robin placement can collide whales).
+    // The global window runs over WHALES ONLY — a rare, tiny subset.
+    val whales = tagged.filter(col("__is_whale"))
+      .withColumn("__slot", row_number().over(Window.orderBy(col("doc_id"))))
+      .repartitionByRange(wp, col("__slot"))
+      .drop("__slot")
+    normals.union(whales).drop("__is_whale")
   }
 
   /** Per-partition lineage rows (run_id, partition_id, docs, spans, errors,

@@ -130,14 +130,17 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Doc("whale1", Seq(InSpan("text", "w" * 3000, null, 0))),
           Doc("whale2", Seq(InSpan("text", "w" * 3000, null, 0))))
     val df = docs.toDS().toDF()
-    val rep = SgmlExtract.sizeAwareRepartition(df, 4, whaleChars = 1000)
+    val rep = SgmlExtract.sizeAwareRepartition(df, 4, whaleChars = 1000,
+      whalePartitions = 2)
     val parts = rep.withColumn("pid", spark_partition_id())
       .filter(col("doc_id").startsWith("whale"))
       .select("doc_id", "pid").as[(String, Int)].collect().toMap
-    // whales keyed individually — they land by their own key, not the
-    // shared hash buckets (distinct keys; may or may not collide by hash,
-    // but each occupies exactly one partition and processing is bounded)
+    // round-robin whale placement: 2 whales over 2 whale partitions →
+    // exactly one whale per task, deterministically (never co-located)
     assert(parts.size == 2)
+    assert(parts.values.toSet.size == 2, s"whales co-located: $parts")
+    // nothing lost
+    assert(rep.count() === 102)
   }
 
   test("sgml_spans UDF surface (LATERAL VIEW ergonomics)") {
