@@ -29,7 +29,7 @@ object Boilerplate {
   final case class Cfg(linkDensity: Double = 0.5, minChars: Int = 20)
 
   /** Strip boilerplate subtrees; document order otherwise preserved. */
-  def strip(content: Vector[Node], cfg: Cfg = Cfg()): Vector[Node] = {
+  def strip(content: IndexedSeq[Node], cfg: Cfg = Cfg()): IndexedSeq[Node] = {
     content.flatMap(keep(_, cfg))
   }
 

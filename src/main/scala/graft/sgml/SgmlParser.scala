@@ -62,7 +62,7 @@ object SgmlParser {
     parse(CharDecoder.decode(bytes, cfg.dialect).text, cfg)
 
   /** Parse one document straight to its span sequence. */
-  def spans(text: String, cfg: ParserConfig): (Vector[Span], Vector[ParseErr]) = {
+  def spans(text: String, cfg: ParserConfig): (IndexedSeq[Span], Vector[ParseErr]) = {
     val r = parse(text, cfg)
     (r.spans(cfg), r.errors)
   }

@@ -19,7 +19,7 @@ object SpanEmitter {
     "img" -> "src", "audio" -> "src", "video" -> "src", "source" -> "src",
     "embed" -> "src", "iframe" -> "src", "object" -> "data")
 
-  def emit(content: Vector[Node], cfg: ParserConfig): Vector[Span] = {
+  def emit(content: IndexedSeq[Node], cfg: ParserConfig): IndexedSeq[Span] = {
     val out = new mutable.ArrayBuffer[Span](16)
     def walk(n: Node): Unit = n match {
       case Node.Text(s, raw, off) =>
@@ -41,7 +41,7 @@ object SpanEmitter {
         e.children.foreach(walk)
     }
     content.foreach(walk)
-    out.toVector
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out.toArray)
   }
 
   private def localOf(name: String): String = {

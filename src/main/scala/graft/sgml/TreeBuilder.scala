@@ -57,14 +57,14 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
   }
 
   /** Close remaining elements and return the document content. */
-  def finish(): Vector[Node] = {
+  def finish(): IndexedSeq[Node] = {
     while (stack.size > 1) {
       val f = top
       if (f.edef.forall(!_.omitEnd))
         log.add("unclosed-element", f.off, f.name)
       popFrame()
     }
-    root.children.toVector
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(root.children.toArray)
   }
 
   /** Full reset for cross-document reuse (paired with Tokenizer.reset). */
@@ -103,7 +103,7 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
 
     // 5. push or immediately close (D4)
     val isEmpty = edef.exists(_.content == ContentKind.Empty)
-    val node = Node.Elem(name, attrs, Vector.empty, off)
+    val node = Node.Elem(name, attrs, TreeBuilder.NoChildren, off)
     if (selfClosing || isEmpty) {
       addChildNode(node)
     } else {
@@ -154,7 +154,8 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     // SGML whitespace rule: one newline directly before the end tag
     stripTrailingNewline(f)
     val parent = top
-    parent.children += Node.Elem(f.name, f.attrs, f.children.toVector, f.off)
+    parent.children += Node.Elem(f.name, f.attrs,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(f.children.toArray), f.off)
   }
 
   // --------------------------------------------------------------- repair
@@ -545,4 +546,9 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     }
     sb.toString
   }
+}
+
+object TreeBuilder {
+  /** Shared empty-children instance (EMPTY/self-closing elements). */
+  val NoChildren: IndexedSeq[Node] = Vector.empty
 }

@@ -143,7 +143,7 @@ object Node {
   final case class Elem(
       name: String,
       attrs: List[Attr],
-      children: Vector[Node],
+      children: IndexedSeq[Node],
       off: Int) extends Node
   final case class Text(s: String, raw: Boolean, off: Int) extends Node
   final case class Pi(s: String, off: Int) extends Node
@@ -157,8 +157,8 @@ object Node {
 final case class Span(kind: String, text: String, media_ref: String, offset: Int)
 
 /** Result of parsing one document. */
-final case class ParseResult(content: Vector[Node], errors: Vector[ParseErr]) {
-  def spans(cfg: ParserConfig): Vector[Span] =
+final case class ParseResult(content: IndexedSeq[Node], errors: Vector[ParseErr]) {
+  def spans(cfg: ParserConfig): IndexedSeq[Span] =
     SpanEmitter.emit(
       if (cfg.boilerplate) Boilerplate.strip(content) else content, cfg)
 }

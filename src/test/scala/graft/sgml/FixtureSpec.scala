@@ -12,10 +12,10 @@ class FixtureSpec extends AnyFunSuite {
   private def cfg(d: Dialect, s: SpaceMode = SpaceMode.Preserve) =
     ParserConfig(dialect = d, space = s)
 
-  private def kts(spans: Vector[Span]): Vector[(String, String, String)] =
-    spans.map(s => (s.kind, s.text, s.media_ref))
+  private def kts(spans: Seq[Span]): Vector[(String, String, String)] =
+    spans.map(s => (s.kind, s.text, s.media_ref)).toVector
 
-  private def assertIncreasing(spans: Vector[Span]): Unit = {
+  private def assertIncreasing(spans: Seq[Span]): Unit = {
     val offs = spans.map(_.offset)
     assert(offs == offs.sorted, s"offsets not non-decreasing: $offs")
     assert(offs.distinct == offs, s"offsets not strictly increasing: $offs")

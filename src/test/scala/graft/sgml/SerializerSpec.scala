@@ -77,8 +77,8 @@ class SerializerSpec extends AnyFunSuite {
     root <- genNode(3)
   } yield Vector(root)
 
-  private def spansOf(content: Vector[Node]): Vector[(String, String)] =
-    SpanEmitter.emit(content, cfg).map(s => (s.kind, s.text))
+  private def spansOf(content: IndexedSeq[Node]): Vector[(String, String)] =
+    SpanEmitter.emit(content, cfg).map(s => (s.kind, s.text)).toVector
 
   // ---- properties -------------------------------------------------------
 
