@@ -209,6 +209,37 @@ class FixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked feed ≡ whole parse across raw/CDATA/RCDATA/entity states") {
+    // every tokenizer mode with internal state that must survive a chunk
+    // boundary, incl. the bulk S_TEXT/S_RAW fast paths
+    val doc = "<html><title>a&amp;b</title><body><p>x &lt; y" +
+      "<script>if(a<b){go()}</script><![CDATA[raw ]] text]]>" +
+      "<p>t&nbsp;u<img src='m.png'>tail</body></html>"
+    val c = cfg(Dialect.Html4, SpaceMode.SgmlMode)
+    val whole = SgmlParser.spans(doc, c)._1
+    // all 2-chunk splits
+    for (k <- 1 to doc.length) {
+      val p = new SgmlParser(c)
+      p.feed(doc.substring(0, k), 0)
+      p.feed(doc.substring(k))
+      assert(p.finish().spans(c) == whole, s"split at $k")
+    }
+    // seeded random many-chunk splits (1-5 char chunks)
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val p = new SgmlParser(c)
+      var i = 0
+      var first = true
+      while (i < doc.length) {
+        val j = math.min(doc.length, i + 1 + rng.nextInt(5))
+        p.feed(doc.substring(i, j), if (first) 0 else -1)
+        first = false
+        i = j
+      }
+      assert(p.finish().spans(c) == whole)
+    }
+  }
+
   test("marked sections: INCLUDE and IGNORE") {
     val c = cfg(Dialect.Sgml)
     val (s1, _) = SgmlParser.spans("<d>a<![INCLUDE[b]]>c</d>", c)
