@@ -145,6 +145,22 @@ object SgmlExtract {
       .as[Doc]
   }
 
+  /** Wrap with deterministically MALFORMED markup (an unclosed `<b>`
+    * inside the paragraph) — the corpus-scale error-recovery check (D8):
+    * the parse must repair at `</p>`, lose no text, and log exactly one
+    * `unclosed-element` error at a computable offset. */
+  def wrapDocumentsMalformed(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").cast("string").as("doc_id"),
+        array(struct(
+          lit("text").as("kind"),
+          concat(lit("<html><body><p>"), col("text"),
+            lit(" <b>bold</p></body></html>")).as("text"),
+          lit(null).cast("string").as("media_ref"),
+          lit(0).as("offset"))).as("spans"))
+  }
+
   /** Wrap with realistic page chrome (head/style, nav of links, footer)
     * around the document text — the boilerplate-strip stage must recover
     * exactly the main text, which keeps the DuckDB oracle trivial. */

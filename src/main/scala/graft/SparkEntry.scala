@@ -48,7 +48,21 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("span.kind").as("kind"), col("span.text").as("text"),
-          col("span.media_ref").as("media_ref"))
+          col("span.media_ref").as("media_ref"),
+          col("span.offset").cast("long").as("off")) // D9: position parity
+    }),
+    "x6_malformed_recovery" -> ((s, dir) => {
+      // D8 at corpus scale: every doc carries an unclosed <b>; parse must
+      // recover (repair at </p>), emit the full text, and record exactly
+      // one error with a deterministic code + offset
+      val docs = SgmlExtract.wrapDocumentsMalformed(s, dir)
+      SgmlExtract.extractDf(docs,
+          SgmlExtract.Config(dialect = "html4", space = "preserve"))
+        .select(col("doc_id"),
+          expr("aggregate(spans, '', (acc, sp) -> acc || sp.text)").as("recovered_text"),
+          size(col("errors")).cast("long").as("n_errors"),
+          col("errors")(0)("code").as("first_error_code"),
+          col("errors")(0)("offset").cast("long").as("first_error_off"))
     }),
     "x3_parse_errors" -> ((s, dir) => {
       extractPreserve(s, dir, marked = true)
@@ -197,13 +211,22 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS n_spans FROM documents""".stripMargin,
     "x2_parse_markup_spans" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS pos,
-        |  'text' AS kind, text AS text, CAST(NULL AS VARCHAR) AS media_ref FROM documents
+        |  'text' AS kind, text AS text, CAST(NULL AS VARCHAR) AS media_ref,
+        |  CAST(15 AS BIGINT) AS off FROM documents
         |UNION ALL
         |SELECT CAST(doc_id AS VARCHAR), CAST(1 AS BIGINT), 'text', 'tail',
-        |  CAST(NULL AS VARCHAR) FROM documents
+        |  CAST(NULL AS VARCHAR), CAST(LENGTH(text) + 18 AS BIGINT) FROM documents
         |UNION ALL
         |SELECT CAST(doc_id AS VARCHAR), CAST(2 AS BIGINT), 'media', '',
-        |  'asset_' || CAST(doc_id AS VARCHAR) || '.bin' FROM documents""".stripMargin,
+        |  'asset_' || CAST(doc_id AS VARCHAR) || '.bin',
+        |  CAST(LENGTH(text) + 100000 AS BIGINT) FROM documents""".stripMargin,
+    "x6_malformed_recovery" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        | text || ' bold' AS recovered_text,
+        | CAST(1 AS BIGINT) AS n_errors,
+        | 'unclosed-element' AS first_error_code,
+        | CAST(LENGTH(text) + 23 AS BIGINT) AS first_error_off
+        |FROM documents""".stripMargin,
     "x3_parse_errors" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS n_errors FROM documents",
     "x4_boilerplate_strip" ->
