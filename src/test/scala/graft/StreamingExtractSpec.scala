@@ -71,6 +71,28 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed("A").spans.last.media_ref === "asset_A.png")
   }
 
+  test("chunked streaming: processing-time timeout flushes incomplete docs") {
+    import spark.implicits._
+    val mem = MemoryStream[Chunk](spark)
+    mem.addData(Seq(Chunk("X", 0, last = false, "text", "<p>partial", null, 0)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt3").toString
+    val q = StreamingExtract.assembleAndExtract(mem.toDS(), cfg, timeoutMs = 300)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_timeout").option("checkpointLocation", ckpt).start()
+    try {
+      // with a processing-time timeout the engine schedules no-data
+      // micro-batches; the abandoned doc must flush shortly after 300 ms
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table("stream_timeout").isEmpty &&
+             System.currentTimeMillis < deadline) Thread.sleep(250)
+      val got = spark.table("stream_timeout").as[Extracted].collect()
+      assert(got.length === 1, "timed-out doc never flushed")
+      assert(got.head.doc_id === "X")
+      assert(got.head.errors.exists(_.code == "incomplete-doc"))
+      assert(got.head.spans.map(_.text) === Seq("partial"))
+    } finally q.stop()
+  }
+
   test("whole-doc streaming uses the batch kernel unchanged") {
     import spark.implicits._
     val mem = MemoryStream[Doc](spark)
