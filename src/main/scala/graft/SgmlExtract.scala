@@ -255,6 +255,21 @@ object SgmlExtract {
     normals.union(whales).drop("__is_whale")
   }
 
+  /** Attach observed metrics to an extracted DataFrame (SURVEY.md §7
+    * step 4: `observe()` + CollectMetrics): docs/spans/errors/chars
+    * counters computed inside the SAME job as whatever action consumes
+    * the frame — no second pass, no pipeline break. Read the result via
+    * `org.apache.spark.sql.Observation#get` after the action. */
+  def withObservedMetrics(df: DataFrame,
+      obs: org.apache.spark.sql.Observation): DataFrame = {
+    df.observe(obs,
+      count(lit(1)).as("docs"),
+      sum(size(col("spans")).cast("long")).as("spans"),
+      sum(size(col("errors")).cast("long")).as("errors"),
+      sum(expr("aggregate(spans, 0L, (a, s) -> a + length(coalesce(s.text, '')))"))
+        .as("chars"))
+  }
+
   /** Per-partition lineage rows (run_id, partition_id, docs, spans, errors,
     * bytes) — computed in the same narrow stage as the parse, so
     * spark_partition_id() is the parse partition (FIXTURES.md lineage

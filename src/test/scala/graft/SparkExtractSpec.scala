@@ -143,6 +143,21 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep.count() === 102)
   }
 
+  test("observed metrics ride the job: docs/spans/errors/chars in one pass") {
+    import org.apache.spark.sql.Observation
+    val docs = SgmlExtract.wrapDocumentsMarked(spark, sf)
+    val obs = Observation("graft")
+    val out = SgmlExtract.withObservedMetrics(
+      SgmlExtract.extractDf(docs.toDF(), cfg), obs)
+    val written = out.count() // the consuming action; metrics piggyback
+    val m = obs.get
+    assert(m("docs") === written)
+    assert(m("docs") === 500L)
+    assert(m("spans") === 1500L) // text + tail + media per doc
+    assert(m("errors") === 0L)
+    assert(m("chars").asInstanceOf[Long] > 0L)
+  }
+
   test("sgml_spans UDF surface (LATERAL VIEW ergonomics)") {
     SgmlExtract.registerUdfs(spark)
     val n = spark.sql(
