@@ -209,6 +209,23 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(approx.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("knn ivf: cell-restricted search is deterministic, ranked by cosine") {
+    import graft.ops.Similarity
+    val r1 = Similarity.knnIvf(spark, sf, numQueries = 5, k = 5).collect()
+    assert(r1.nonEmpty)
+    val byQ = r1.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.head == 1L && ranks.length <= 5)
+      assert(ranks.toSet.size == ranks.length) // dense distinct ranking
+      // all candidates came from the query's own cell
+      assert(rows.map(_.getAs[Int]("cell")).toSet.size == 1)
+    }
+    // deterministic across runs (fixed kmeans seed)
+    val r2 = Similarity.knnIvf(spark, sf, numQueries = 5, k = 5).collect()
+    assert(r1.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
+  }
+
   test("media stub pipeline: deterministic metadata, joinable to spans") {
     import graft.ops.MediaOps
     val meta = MediaOps.decodeStub(MediaOps.syntheticAssets(spark, sf))
