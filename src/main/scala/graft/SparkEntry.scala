@@ -183,6 +183,7 @@ object SparkEntry {
     "e1_knn_exact" -> ((s, dir) =>
       Similarity.knnBruteForce(s, dir).withColumn("rank", col("rank").cast("long"))),
     "e2_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
+    "e4_knn_ivf" -> ((s, dir) => Similarity.knnIvf(s, dir)),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
     // vectors (max pairwise cosine ≈ 0.51 at sf0.01), so a production-like
     // 0.9+ threshold would vacuously return nothing to check

@@ -91,6 +91,40 @@ object Similarity {
         col("bucket"))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    * corpus into nlist cells; a query scans only its own cell(s), ranked
+    * by exact cosine. The scale path complement to sign-LSH (knnLsh):
+    * cells adapt to the data distribution where hyperplanes are oblivious.
+    * Deterministic (fixed seed). At 100 TB: fit on a sample, broadcast
+    * centroids, cell assignment is a narrow map; candidate generation is
+    * an equi-join on cell id — same shuffle shape as the LSH bucket join,
+    * and the cell table can be bucketed at rest so repeated queries skip
+    * the shuffle entirely. */
+  def knnIvf(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5, nlist: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = embeddings(spark, sfDir)
+      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).fit(emb)
+    val cells = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val queries = cells.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"))
+    val scored = cells
+      .join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cell"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket join + threshold. */
   def embeddingNearDups(spark: SparkSession, sfDir: String,
       minSim: Double = 0.95, nPlanes: Int = 8): DataFrame = {
