@@ -121,6 +121,20 @@ object SgmlExtract {
       .as[Doc]
   }
 
+  // Wrapper constants, shared between the synthetic-markup wrappers below
+  // and SparkEntry's DuckDB oracles: every oracle offset is DERIVED from
+  // these (never hard-coded), so a wrapper change breaks the build/oracle
+  // loudly instead of silently invalidating the comparison.
+  val MarkedPrefix = "<html><body><p>" // before the document text
+  val MarkedTail = "<p>tail" // second paragraph open + its text
+  val MarkedSuffix = "</body></html>"
+  val MarkedTailText = "tail" // the text content of MarkedTail
+  val MarkedMediaOffset = 100000 // media span offset = len(text) + this
+  val AssetPrefix = "asset_"
+  val AssetSuffix = ".bin"
+  val MalformedInfix = " <b>bold" // unclosed <b> injected after the text
+  val MalformedSuffix = "</p></body></html>"
+
   /** Wrap with deterministic synthetic markup + an interleaved media span —
     * exercises tag parse, omission repair and media passthrough on the real
     * corpus while staying SQL-reconstructable for the DuckDB oracle. */
@@ -132,15 +146,15 @@ object SgmlExtract {
         array(
           struct(
             lit("text").as("kind"),
-            concat(lit("<html><body><p>"), col("text"),
-              lit("<p>tail"), lit("</body></html>")).as("text"),
+            concat(lit(MarkedPrefix), col("text"),
+              lit(MarkedTail), lit(MarkedSuffix)).as("text"),
             lit(null).cast("string").as("media_ref"),
             lit(0).as("offset")),
           struct(
             lit("media").as("kind"),
             lit("").as("text"),
-            concat(lit("asset_"), col("doc_id"), lit(".bin")).as("media_ref"),
-            (length(col("text")) + lit(100000)).as("offset"))
+            concat(lit(AssetPrefix), col("doc_id"), lit(AssetSuffix)).as("media_ref"),
+            (length(col("text")) + lit(MarkedMediaOffset)).as("offset"))
         ).as("spans"))
       .as[Doc]
   }
@@ -155,8 +169,8 @@ object SgmlExtract {
         col("doc_id").cast("string").as("doc_id"),
         array(struct(
           lit("text").as("kind"),
-          concat(lit("<html><body><p>"), col("text"),
-            lit(" <b>bold</p></body></html>")).as("text"),
+          concat(lit(MarkedPrefix), col("text"),
+            lit(MalformedInfix + MalformedSuffix)).as("text"),
           lit(null).cast("string").as("media_ref"),
           lit(0).as("offset"))).as("spans"))
   }

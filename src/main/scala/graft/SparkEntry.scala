@@ -184,11 +184,9 @@ object SparkEntry {
       Similarity.knnBruteForce(s, dir).withColumn("rank", col("rank").cast("long"))),
     "e2_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "e4_knn_ivf" -> ((s, dir) => Similarity.knnIvf(s, dir)),
-    // threshold 0.4: the synthetic embeddings are near-orthogonal random
-    // vectors (max pairwise cosine ≈ 0.51 at sf0.01), so a production-like
-    // 0.9+ threshold would vacuously return nothing to check
+    "e5_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "e3_embedding_neardup" -> ((s, dir) =>
-      Similarity.embeddingNearDups(s, dir, minSim = 0.4)
+      Similarity.embeddingNearDups(s, dir, minSim = NearDupMinSim)
         .select(col("id_a"), col("id_b"))),
 
     // ---- multimodal plumbing (stubbed codec; see MediaOps) ----------------
@@ -206,27 +204,171 @@ object SparkEntry {
         .withColumn("frame_idx", col("frame_idx").cast("long")))
   )
 
+  // ---- oracle offsets/fragments DERIVED from the wrapper constants ----
+  // (VERDICT r1 #10: a wrapper edit now shifts these and fails the oracle
+  // comparison loudly instead of silently testing stale offsets)
+  private val textOff = SgmlExtract.MarkedPrefix.length
+  private val tailOffDelta = // doc-coordinate offset of the tail TEXT
+    SgmlExtract.MarkedPrefix.length +
+      (SgmlExtract.MarkedTail.length - SgmlExtract.MarkedTailText.length)
+  private val malformedErrOffDelta = // error fires at the closing </p>
+    SgmlExtract.MarkedPrefix.length + SgmlExtract.MalformedInfix.length
+  private val malformedTextSuffix = // markup removed, text content kept
+    SgmlExtract.MalformedInfix.replaceAll("<[^>]*>", "")
+
+  // Shared CTE chain: word 3-shingles (same as d6) → code-point polynomial
+  // shingle hashes → 64-way minhash signature → banded hashes. Mirrors
+  // graft.ops.Dedup bit-for-bit (closed-form coefficients, mod-P integer
+  // arithmetic — HUGEINT where the product exceeds 2^63).
+  private val minhashCtes: String =
+    s"""w AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(words) = 0 THEN []::VARCHAR[]
+      |         WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(words) - 1),
+      |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+      |    END AS sh
+      |  FROM w),
+      |u AS (
+      |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(regexp_extract_all(s, '.'), c -> ord(c)::BIGINT)),
+      |      (h, cp) -> (h * 31 + cp) % 4294967296) AS h
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM g)),
+      |params AS (
+      |  SELECT CAST(i AS INTEGER) AS i,
+      |    ((i + 1) * 2654435761) % 2147483629 + 1 AS a,
+      |    ((i + 1) * 2246822519) % 2147483629 AS b
+      |  FROM range(${ops.Dedup.NumHashes}) t(i)),
+      |sig AS (
+      |  SELECT d.doc_id, p.i,
+      |    COALESCE(MIN(CAST((CAST(p.a AS HUGEINT) * u.h + p.b) % ${ops.Dedup.HashP} AS BIGINT)),
+      |             9223372036854775807) AS v
+      |  FROM (SELECT doc_id FROM documents) d
+      |  CROSS JOIN params p
+      |  LEFT JOIN u ON u.doc_id = d.doc_id
+      |  GROUP BY d.doc_id, p.i),
+      |bands AS (
+      |  SELECT doc_id, CAST(i // ${ops.Dedup.RowsPerBand} AS INTEGER) AS band,
+      |    list_reduce(list_prepend(0::BIGINT, list(v ORDER BY i)),
+      |      (acc, x) -> (acc * ${ops.Dedup.BandB} + x % ${ops.Dedup.HashP}) % ${ops.Dedup.HashP}) AS band_hash
+      |  FROM sig GROUP BY doc_id, i // ${ops.Dedup.RowsPerBand})""".stripMargin
+
+  // threshold 0.4: the synthetic embeddings are near-orthogonal random
+  // vectors (max pairwise cosine ≈ 0.51 at sf0.01), so a production-like
+  // 0.9+ threshold would vacuously return nothing to check
+  private val NearDupMinSim = 0.4
+
+  // Sign-LSH planes + per-(vector, table) buckets, rebuilt in SQL from the
+  // same closed-form plane values as graft.ops.Similarity.planeVal.
+  private def lshBucketCtes(nTables: Int, nPlanes: Int): String =
+    s"""planes AS (
+      |  SELECT t, p,
+      |    list_transform(range(${Similarity.Dim}), i ->
+      |      (((t*64 + p)*64 + i + 1) * ${Similarity.PlaneCoefK}
+      |       % ${Similarity.PlaneCoefP} % ${Similarity.PlaneRange} - 1000) / 1000.0) AS pl
+      |  FROM range($nTables) tt(t), range($nPlanes) pp(p)),
+      |b AS (
+      |  SELECT e.vec_id, pl.t AS tbl,
+      |    CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0
+      |      THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e CROSS JOIN planes pl
+      |  GROUP BY e.vec_id, pl.t)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "e2_knn_lsh" ->
+      s"""WITH ${lshBucketCtes(Similarity.DefaultTables, Similarity.DefaultPlanes)},
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+        |  FROM b q JOIN b e ON q.tbl = e.tbl AND q.bucket = e.bucket AND e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(eq.embedding, en.embedding) DESC,
+        |               c.neighbor_id) AS rank
+        |  FROM cand c
+        |  JOIN embeddings eq ON eq.vec_id = c.query_id
+        |  JOIN embeddings en ON en.vec_id = c.neighbor_id)
+        |SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin,
+    "e3_embedding_neardup" ->
+      s"""WITH ${lshBucketCtes(1, Similarity.DefaultPlanes)}
+        |SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |JOIN embeddings eb ON eb.vec_id = b2.vec_id
+        |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= $NearDupMinSim""".stripMargin,
+    // e5 regression pin: every seed/plane/probe in the ANN family is fixed
+    // and the IVF fit is single-partition, so recall@5 at the driver's
+    // verify SF (sf0.01: 10 queries × k=5 over 500 near-orthogonal random
+    // vectors) is a deterministic constant. Multi-table LSH (8×6-bit) hits
+    // 0.28 and multi-probe IVF (4/16 cells) 0.74 on this structureless
+    // corpus — an intentional floor; clustered real embeddings score far
+    // higher at the same parameters.
+    "e5_ann_recall" ->
+      """SELECT * FROM (VALUES
+        |  ('lsh', CAST(14 AS BIGINT), CAST(50 AS BIGINT), CAST(0.28 AS DOUBLE)),
+        |  ('ivf', CAST(37 AS BIGINT), CAST(50 AS BIGINT), CAST(0.74 AS DOUBLE)))
+        | t(method, hits, total, recall)""".stripMargin,
+    "d2_minhash_bands" ->
+      s"WITH $minhashCtes SELECT doc_id, band, band_hash FROM bands",
+    "d3_minhash_pairs" ->
+      s"""WITH $minhashCtes,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    ROUND(CASE WHEN len(ga.sh) = 0 AND len(gb.sh) = 0 THEN 1.0
+        |      ELSE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)
+        |           / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) END, 6) AS jaccard
+        |  FROM cand c JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b) t
+        |WHERE jaccard >= 0.5""".stripMargin,
+    "t2_token_count" ->
+      """SELECT doc_id,
+        | CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS ws_tokens,
+        | CAST(LEN(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+        |   + LEN(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS INTEGER) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "t5_fingerprint" ->
+      """WITH cps AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '.', 0, 's'), c -> ord(c)::BIGINT) AS cp
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(cp) < 16 THEN []::BIGINT[]
+        |    ELSE list_sort(list_distinct(list_transform(range(1, len(cp) - 14),
+        |      i -> list_reduce(list_prepend(0::BIGINT, cp[i:i+15]),
+        |             (h, c) -> (h * 31 + c) % 4294967311))))[1:8]
+        |    END AS f
+        |  FROM cps)
+        |SELECT doc_id, f[1] AS fp_min, CAST(len(f) AS INTEGER) AS fp_len FROM fp""".stripMargin,
     "x1_parse_identity" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
         | CAST(1 AS BIGINT) AS n_spans FROM documents""".stripMargin,
     "x2_parse_markup_spans" ->
-      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS pos,
+      s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS pos,
         |  'text' AS kind, text AS text, CAST(NULL AS VARCHAR) AS media_ref,
-        |  CAST(15 AS BIGINT) AS off FROM documents
+        |  CAST($textOff AS BIGINT) AS off FROM documents
         |UNION ALL
-        |SELECT CAST(doc_id AS VARCHAR), CAST(1 AS BIGINT), 'text', 'tail',
-        |  CAST(NULL AS VARCHAR), CAST(LENGTH(text) + 18 AS BIGINT) FROM documents
+        |SELECT CAST(doc_id AS VARCHAR), CAST(1 AS BIGINT), 'text',
+        |  '${SgmlExtract.MarkedTailText}',
+        |  CAST(NULL AS VARCHAR), CAST(LENGTH(text) + $tailOffDelta AS BIGINT) FROM documents
         |UNION ALL
         |SELECT CAST(doc_id AS VARCHAR), CAST(2 AS BIGINT), 'media', '',
-        |  'asset_' || CAST(doc_id AS VARCHAR) || '.bin',
-        |  CAST(LENGTH(text) + 100000 AS BIGINT) FROM documents""".stripMargin,
+        |  '${SgmlExtract.AssetPrefix}' || CAST(doc_id AS VARCHAR) || '${SgmlExtract.AssetSuffix}',
+        |  CAST(LENGTH(text) + ${SgmlExtract.MarkedMediaOffset} AS BIGINT) FROM documents""".stripMargin,
     "x6_malformed_recovery" ->
-      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-        | text || ' bold' AS recovered_text,
+      s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        | text || '$malformedTextSuffix' AS recovered_text,
         | CAST(1 AS BIGINT) AS n_errors,
         | 'unclosed-element' AS first_error_code,
-        | CAST(LENGTH(text) + 23 AS BIGINT) AS first_error_off
+        | CAST(LENGTH(text) + $malformedErrOffDelta AS BIGINT) AS first_error_off
         |FROM documents""".stripMargin,
     "x3_parse_errors" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS n_errors FROM documents",
@@ -278,10 +420,10 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         | FROM events) t WHERE rn = 1""".stripMargin,
     "x5_serialize_roundtrip" ->
-      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+      s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
         | '<html><head></head><body><p>' || text ||
-        | '</p><p>tail</p></body></html><img src="asset_' ||
-        | CAST(doc_id AS VARCHAR) || '.bin"/>' AS xml_out
+        | '</p><p>${SgmlExtract.MarkedTailText}</p></body></html><img src="${SgmlExtract.AssetPrefix}' ||
+        | CAST(doc_id AS VARCHAR) || '${SgmlExtract.AssetSuffix}"/>' AS xml_out
         |FROM documents""".stripMargin,
     "q4_topk_revenue" ->
       """SELECT o_custkey,

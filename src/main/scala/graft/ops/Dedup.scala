@@ -33,6 +33,24 @@ object Dedup {
   val Bands = 16 // 16 bands × 4 rows: ~threshold (1/16)^(1/4) ≈ 0.5 Jaccard
   val RowsPerBand: Int = NumHashes / Bands
 
+  // ---- minhash scheme, shared bit-for-bit with the DuckDB oracle ----
+  // shingle hash : base-31 polynomial over Unicode code points, mod 2^32
+  // hash_i(h)    : (a_i·h + b_i) mod P with a_i,b_i < 2^31 so the product
+  //                fits a signed 64-bit value on both engines
+  // band hash    : base-1000003 polynomial fold of the band's 4 signature
+  //                values, mod P
+  // Everything is closed-form (no PRNG stream), so the oracle can rebuild
+  // the exact coefficients with integer SQL.
+  val HashP = 4294967311L // prime > 2^32
+  val BandB = 1000003L // band-fold base (BandB·P < 2^63: no overflow)
+  private val CoefM = 2147483629L // prime < 2^31 bounding a_i / b_i
+  private[ops] def coefA(i: Int): Long = ((i + 1) * 2654435761L) % CoefM + 1
+  private[ops] def coefB(i: Int): Long = ((i + 1) * 2246822519L) % CoefM
+  // hoisted: one coefficient table per JVM, not per row (was a measured
+  // cost at 64 draws + 2 allocations per document)
+  private val HashAs: Array[Long] = Array.tabulate(NumHashes)(coefA)
+  private val HashBs: Array[Long] = Array.tabulate(NumHashes)(coefB)
+
   /** Word 3-shingles of a document (lowercased). */
   def shingles(text: String, n: Int = 3): Set[String] = {
     if (text == null) return Set.empty
@@ -41,20 +59,28 @@ object Dedup {
     words.sliding(n).map(_.mkString(" ")).toSet
   }
 
-  /** 64 minhashes via (a_i·h + b_i) mod p over shingle hashes. Fixed
-    * seeds → deterministic across JVMs (String.hashCode is spec-pinned). */
+  /** Base-31 code-point polynomial hash, mod 2^32 (oracle-replicable). */
+  def shingleHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) & 0xFFFFFFFFL
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** 64 minhashes via (a_i·h + b_i) mod P over shingle hashes. Closed-form
+    * coefficients → deterministic across JVMs and replicable in SQL. */
   def minhash(text: String): Array[Long] = {
     val sh = shingles(text)
-    val p = 4294967311L // prime > 2^32
     val sig = Array.fill(NumHashes)(Long.MaxValue)
-    val rng = new java.util.Random(42)
-    val as = Array.fill(NumHashes)(rng.nextInt(Int.MaxValue).toLong * 2 + 1)
-    val bs = Array.fill(NumHashes)(rng.nextInt(Int.MaxValue).toLong)
     sh.foreach { s =>
-      val h = (s.hashCode.toLong & 0xFFFFFFFFL)
+      val h = shingleHash(s)
       var i = 0
       while (i < NumHashes) {
-        val v = (as(i) * h + bs(i)) % p
+        val v = (HashAs(i) * h + HashBs(i)) % HashP
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -63,15 +89,17 @@ object Dedup {
   }
 
   /** doc_id → (band, band_hash) rows; near-dup candidates collide in ≥1
-    * band. */
+    * band. Band hash is a codegen'd Column fold (no UDF, no Spark-private
+    * hash — the oracle reproduces it exactly). */
   def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
     val mh = udf((t: String) => minhash(t))
     val d = documents(spark, sfDir)
       .select(col("doc_id"), mh(col("text")).as("sig"))
     val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        hash((0 until RowsPerBand).map(r => col("sig")(b * RowsPerBand + r)): _*)
-          .as("band_hash"))
+      val bh = (0 until RowsPerBand).foldLeft(lit(0L): Column) { (acc, r) =>
+        (acc * BandB + col("sig")(b * RowsPerBand + r) % HashP) % HashP
+      }
+      struct(lit(b).as("band"), bh.as("band_hash"))
     }
     d.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
@@ -93,7 +121,7 @@ object Dedup {
     cands
       .join(texts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
       .join(texts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
-      .withColumn("jaccard", jac(col("text_a"), col("text_b")))
+      .withColumn("jaccard", round(jac(col("text_a"), col("text_b")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }

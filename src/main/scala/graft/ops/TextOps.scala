@@ -92,17 +92,24 @@ object TextOps {
   }
 
   /** Rolling-hash document fingerprint (winnowing-style): Rabin-Karp over
-    * character 16-grams, keep the k smallest hashes → a compact,
-    * order-insensitive sketch for near-dup triage. Deterministic. */
+    * code-point 16-grams with base-31 mod-P arithmetic (P prime > 2^32 —
+    * no native overflow wrap, so the exact same values are computable in
+    * integer SQL and the t5 oracle recomputes them from scratch), keeping
+    * the k smallest distinct hashes → a compact, order-insensitive sketch
+    * for near-dup triage. Deterministic. O(1) state per position (rolling),
+    * O(k) memory — whale-safe. */
   def fingerprint(text: String, window: Int = 16, k: Int = 8): Array[Long] = {
-    if (text == null || text.length < window) return Array.empty
-    val B = 1000003L
-    var pow = 1L
+    if (text == null) return Array.empty
+    val cps = text.codePoints().toArray
+    if (cps.length < window) return Array.empty
+    val P = 4294967311L // shared with Dedup.HashP
+    val B = 31L
+    var pow = 1L // B^(window-1) mod P
     var i = 0
-    while (i < window - 1) { pow *= B; i += 1 }
+    while (i < window - 1) { pow = pow * B % P; i += 1 }
     var h = 0L
     i = 0
-    while (i < window) { h = h * B + text.charAt(i); i += 1 }
+    while (i < window) { h = (h * B + cps(i)) % P; i += 1 }
     val heap = new java.util.PriorityQueue[java.lang.Long](k + 1,
       java.util.Collections.reverseOrder[java.lang.Long]())
     def offer(x: Long): Unit = {
@@ -112,8 +119,9 @@ object TextOps {
     }
     offer(h)
     i = window
-    while (i < text.length) {
-      h = (h - text.charAt(i - window) * pow) * B + text.charAt(i)
+    while (i < cps.length) {
+      // roll: drop cps(i-window), add cps(i); keep everything in [0, P)
+      h = ((h + P - cps(i - window) * pow % P) % P * B + cps(i)) % P
       offer(h)
       i += 1
     }
