@@ -278,7 +278,107 @@ object SparkEntry {
       |  FROM embeddings e CROSS JOIN planes pl
       |  GROUP BY e.vec_id, pl.t)""".stripMargin
 
+  // SimHash rebuilt in SQL: per-word 64 bits = two 32-bit code-point
+  // polynomial hashes (bases 31/37, mod 2^32 — mirrors Dedup.simhash),
+  // per-bit majority vote, then the 64-bit value assembled in HUGEINT and
+  // wrapped to the signed BIGINT two's-complement value Spark emits.
+  private val simhashCtes: String =
+    """w2 AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+      |  FROM documents),
+      |wh AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(regexp_extract_all(word, '.'), c -> ord(c)::BIGINT)),
+      |      (h, cp) -> (h * 31 + cp) % 4294967296) AS hi,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(regexp_extract_all(word, '.'), c -> ord(c)::BIGINT)),
+      |      (h, cp) -> (h * 37 + cp) % 4294967296) AS lo
+      |  FROM (SELECT doc_id, unnest(words) AS word FROM w2)),
+      |bits AS (
+      |  SELECT doc_id, i.i AS bit,
+      |    SUM(CASE WHEN ((CASE WHEN i.i < 32 THEN lo >> i.i
+      |                        ELSE hi >> (i.i - 32) END) & 1) = 1
+      |        THEN 1 ELSE -1 END) AS acc
+      |  FROM wh CROSS JOIN range(64) i(i)
+      |  GROUP BY doc_id, i.i),
+      |sh2 AS (
+      |  SELECT d.doc_id,
+      |    CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+      |              ELSE u END AS BIGINT) AS simhash
+      |  FROM (
+      |    SELECT d0.doc_id,
+      |      COALESCE(SUM(CASE WHEN b.acc > 0 THEN CAST(1 AS HUGEINT) << b.bit
+      |                        ELSE 0 END), 0) AS u
+      |    FROM (SELECT doc_id FROM documents) d0
+      |    LEFT JOIN bits b ON b.doc_id = d0.doc_id
+      |    GROUP BY d0.doc_id) d)""".stripMargin
+
+  // Synthetic media assets + stub decode rebuilt in SQL (mirrors
+  // graft.ops.MediaOps: base-31 seed over the decimal doc_id, closed-form
+  // byte stream, base-31 byte hash mod P → dimensions/frames).
+  private val mediaCtes: String =
+    s"""ma AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'),
+      |        c -> ord(c)::BIGINT)),
+      |      (h, cp) -> (h * 31 + cp) % 4294967296) AS seed
+      |  FROM documents),
+      |mb AS (
+      |  SELECT id, seed, 64 + seed % 192 AS len,
+      |    CASE seed % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+      |         ELSE 'video/mp4' END AS mime
+      |  FROM ma),
+      |mh AS (
+      |  SELECT id, len, mime,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(len),
+      |        j -> (seed + (j + 1) * ${MediaOps.MediaK}) % ${MediaOps.MediaP} % 256)),
+      |      (acc, x) -> (acc * 31 + x) % ${MediaOps.MediaP}) AS hh
+      |  FROM mb),
+      |mm AS (
+      |  SELECT '${SgmlExtract.AssetPrefix}' || id || '${SgmlExtract.AssetSuffix}' AS media_ref,
+      |    mime, CAST(len AS INTEGER) AS byte_len,
+      |    CAST(16 + hh % 1024 AS INTEGER) AS width,
+      |    CAST(16 + (hh // 1024) % 1024 AS INTEGER) AS height,
+      |    CAST(CASE WHEN mime LIKE 'video%' THEN 1 + (hh // 1048576) % 300
+      |         ELSE 1 END AS INTEGER) AS n_frames
+      |  FROM mh)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "m1_media_meta" ->
+      s"""WITH $mediaCtes
+        |SELECT media_ref, mime, byte_len, width, height, n_frames FROM mm""".stripMargin,
+    "m2_media_resize" ->
+      s"""WITH $mediaCtes,
+        |sc AS (
+        |  SELECT media_ref, width, height,
+        |    LEAST(256000000 / width, 256000000 / height, 1000000) AS s
+        |  FROM mm)
+        |SELECT media_ref, width, height,
+        |  GREATEST(1, CAST(FLOOR(width * s / 1000000) AS INTEGER)) AS resized_w,
+        |  GREATEST(1, CAST(FLOOR(height * s / 1000000) AS INTEGER)) AS resized_h
+        |FROM sc""".stripMargin,
+    "m3_frame_sample" ->
+      s"""WITH $mediaCtes
+        |SELECT media_ref, n_frames,
+        |  CAST(unnest(generate_series(0, n_frames - 1, 30)[1:8]) AS BIGINT) AS frame_idx
+        |FROM mm WHERE mime LIKE 'video%'""".stripMargin,
+    "d4_simhash" ->
+      s"WITH $simhashCtes SELECT doc_id, simhash FROM sh2",
+    "d5_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+        |bands2 AS (
+        |  SELECT doc_id, simhash, b.b AS band,
+        |    (simhash >> (b.b * 16)) & 65535 AS band_val
+        |  FROM sh2 CROSS JOIN range(4) b(b))
+        |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b2.simhash)) AS INTEGER) AS hamming
+        |FROM bands2 a JOIN bands2 b2
+        |  ON a.band = b2.band AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin,
     "e2_knn_lsh" ->
       s"""WITH ${lshBucketCtes(Similarity.DefaultTables, Similarity.DefaultPlanes)},
         |cand AS (

@@ -152,21 +152,30 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over word hashes (weight 1). */
+  /** 64-bit SimHash over word hashes (weight = term frequency). The
+    * 64 word-hash bits come from TWO independent 32-bit code-point
+    * polynomial hashes (bases 31 and 37, mod 2^32) — no wrapping 64-bit
+    * multiply anywhere, so the d4/d5 oracles recompute the exact same
+    * bits in integer SQL. */
   def simhash(text: String): Long = {
     if (text == null) return 0L
     val acc = new Array[Int](64)
     text.toLowerCase.split("\\s+").foreach { w =>
       if (w.nonEmpty) {
-        // 64-bit mix of the 32-bit String hash (splitmix64 finalizer)
-        var h = w.hashCode.toLong
-        h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
-        h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
-        h = h ^ (h >>> 31)
+        var hi = 0L // base-31 poly → bits 32..63
+        var lo = 0L // base-37 poly → bits 0..31
         var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-          i += 1
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          hi = (hi * 31 + cp) & 0xFFFFFFFFL
+          lo = (lo * 37 + cp) & 0xFFFFFFFFL
+          i += Character.charCount(cp)
+        }
+        var b = 0
+        while (b < 32) {
+          if (((lo >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          if (((hi >>> b) & 1L) == 1L) acc(b + 32) += 1 else acc(b + 32) -= 1
+          b += 1
         }
       }
     }

@@ -20,6 +20,13 @@ object MediaOps {
       media_ref: String, mime: String, byte_len: Int,
       width: Int, height: Int, n_frames: Int, feature: Array[Float])
 
+  // Closed-form generator/stub constants (shared with the m1-m3 DuckDB
+  // oracles): all arithmetic is mod-P integer math over the decimal
+  // doc_id string — no PRNG stream, no wrapping 64-bit multiply — so the
+  // oracle recomputes byte lengths, dimensions and frame counts in SQL.
+  val MediaP = 4294967311L // prime > 2^32 (same as Dedup.HashP)
+  val MediaK = 2654435761L // Knuth multiplicative constant
+
   /** Synthetic deterministic media-asset table derived from doc ids (no
     * external data): media_ref matches the refs emitted by
     * `wrapDocumentsMarked`. */
@@ -29,17 +36,21 @@ object MediaOps {
       .select(col("doc_id").cast("string"))
       .as[String]
       .map { id =>
-        val seed = id.hashCode.toLong
-        val rng = new java.util.Random(seed)
-        val len = 64 + (math.abs(seed) % 192).toInt
+        val seed = Dedup.shingleHash(id) // base-31 poly mod 2^32 over digits
+        val len = 64 + (seed % 192).toInt
         val bytes = new Array[Byte](len)
-        rng.nextBytes(bytes)
-        val mime = (math.abs(seed) % 3) match {
+        var j = 0
+        while (j < len) {
+          bytes(j) = (((seed + (j + 1) * MediaK) % MediaP % 256) - 128).toByte
+          j += 1
+        }
+        val mime = (seed % 3) match {
           case 0 => "image/png"
           case 1 => "audio/wav"
           case _ => "video/mp4"
         }
-        MediaRow(s"asset_$id.bin", bytes, mime)
+        MediaRow(graft.SgmlExtract.AssetPrefix + id + graft.SgmlExtract.AssetSuffix,
+          bytes, mime)
       }
   }
 
@@ -53,13 +64,14 @@ object MediaOps {
     assets.mapPartitions { it =>
       it.map { m =>
         // STUB decode: hash-derived dimensions/frames + byte-histogram
-        // feature. Replace with a real codec in production.
-        var h = 1125899906842597L
+        // feature. Replace with a real codec in production. The hash is a
+        // base-31 poly over UNSIGNED byte values mod P (oracle-replicable).
+        var h = 0L
         var i = 0
-        while (i < m.bytes.length) { h = 31 * h + m.bytes(i); i += 1 }
-        val w = 16 + (math.abs(h) % 1024).toInt
-        val ht = 16 + (math.abs(h >> 10) % 1024).toInt
-        val frames = if (m.mime.startsWith("video")) 1 + (math.abs(h >> 20) % 300).toInt else 1
+        while (i < m.bytes.length) { h = (h * 31 + (m.bytes(i) + 128)) % MediaP; i += 1 }
+        val w = 16 + (h % 1024).toInt
+        val ht = 16 + (h / 1024 % 1024).toInt
+        val frames = if (m.mime.startsWith("video")) 1 + (h / 1048576 % 300).toInt else 1
         val feat = new Array[Float](8)
         i = 0
         while (i < m.bytes.length) {
@@ -79,12 +91,15 @@ object MediaOps {
       .join(meta, Seq("media_ref"), "left")
   }
 
-  /** Resize to fit a bounding box, aspect preserved (integer math →
-    * deterministic). STUB: only the dimension arithmetic is real; a
+  /** Resize to fit a bounding box, aspect preserved. The ×1e6 scale
+    * factor is fixed-point-via-double: Spark's `/` on integral columns is
+    * IEEE double division (integer division is `div`), so the result is
+    * bit-deterministic and the truncating int cast below replicates in
+    * SQL as FLOOR. STUB: only the dimension arithmetic is real; a
     * production codec would also re-encode pixels here. Narrow, codegen'd
     * column expressions — no UDF needed for the geometry. */
   def resizeMeta(meta: DataFrame, maxW: Int = 256, maxH: Int = 256): DataFrame = {
-    // scale = min(maxW/w, maxH/h, 1) in integer arithmetic (×1e6)
+    // scale = min(maxW/w, maxH/h, 1), fixed-point ×1e6 carried in doubles
     val s = least(lit(maxW * 1000000L) / col("width"),
       lit(maxH * 1000000L) / col("height"), lit(1000000L))
     meta
