@@ -13,7 +13,13 @@ package graft.sgml
   * Only structure that matters for span extraction is declared: content
   * models (for omitted-tag inference), omission flags, EMPTY elements,
   * CDATA/RCDATA content (script/style/textarea/title), inclusions/
-  * exclusions. Attribute lists are left to per-document DOCTYPE subsets.
+  * exclusions — plus the HTML 4.01 core attribute lists (enumerated
+  * types, literal defaults like `form method get` / `td colspan 1`, and
+  * minimizable boolean attrs), so T4 typing and T5 defaulting fire
+  * without a per-document DOCTYPE subset. Pragmatic deviation from the
+  * strict HTML4 DTD: `img alt` and `script type` are #IMPLIED (not
+  * #REQUIRED) — real-web markup omits them constantly and an error per
+  * occurrence would drown the recovery budget.
   */
 object HtmlDtd {
 
@@ -90,6 +96,32 @@ object HtmlDtd {
 <!ELEMENT datalist - - (option | %inline;)*>
 <!ELEMENT (xmp | listing | plaintext) - - CDATA>
 <!ELEMENT frameset - - (frameset | frame | noframes)+>
+
+<!ENTITY % coreattrs "id ID #IMPLIED class CDATA #IMPLIED style CDATA #IMPLIED title CDATA #IMPLIED lang NAME #IMPLIED dir (ltr|rtl) #IMPLIED">
+<!ATTLIST (html | head | body | p | div | span | a | img | ul | ol | li | dl | dt | dd | table | tr | th | td | form | input | select | option | textarea | button | label | h1 | h2 | h3 | h4 | h5 | h6 | pre | blockquote | em | strong | b | i | u | s | code | tt | big | small | cite | q | sub | sup | section | article | nav | aside | header | footer | main | figure | figcaption | details | summary | iframe | script | style | br | hr | area | map | object | caption | thead | tbody | tfoot | colgroup | col | fieldset | legend | address | center) %coreattrs;>
+<!ATTLIST a href CDATA #IMPLIED name CDATA #IMPLIED target CDATA #IMPLIED rel CDATA #IMPLIED shape (rect|circle|poly|default) rect coords CDATA #IMPLIED>
+<!ATTLIST img src CDATA #REQUIRED alt CDATA #IMPLIED width CDATA #IMPLIED height CDATA #IMPLIED border CDATA #IMPLIED ismap (ismap) #IMPLIED usemap CDATA #IMPLIED>
+<!ATTLIST br clear (left|all|right|none) none>
+<!ATTLIST form action CDATA #IMPLIED method (get|post) get enctype CDATA "application/x-www-form-urlencoded" name CDATA #IMPLIED>
+<!ATTLIST input type (text|password|checkbox|radio|submit|reset|file|hidden|image|button) text name CDATA #IMPLIED value CDATA #IMPLIED checked (checked) #IMPLIED disabled (disabled) #IMPLIED readonly (readonly) #IMPLIED size CDATA #IMPLIED maxlength NUMBER #IMPLIED>
+<!ATTLIST button type (button|submit|reset) submit name CDATA #IMPLIED value CDATA #IMPLIED disabled (disabled) #IMPLIED>
+<!ATTLIST select name CDATA #IMPLIED size NUMBER #IMPLIED multiple (multiple) #IMPLIED disabled (disabled) #IMPLIED>
+<!ATTLIST option selected (selected) #IMPLIED disabled (disabled) #IMPLIED value CDATA #IMPLIED>
+<!ATTLIST textarea name CDATA #IMPLIED rows NUMBER #IMPLIED cols NUMBER #IMPLIED disabled (disabled) #IMPLIED readonly (readonly) #IMPLIED>
+<!ATTLIST label for IDREF #IMPLIED>
+<!ATTLIST table summary CDATA #IMPLIED width CDATA #IMPLIED border CDATA #IMPLIED cellspacing CDATA #IMPLIED cellpadding CDATA #IMPLIED>
+<!ATTLIST (th | td) rowspan NUMBER 1 colspan NUMBER 1 abbr CDATA #IMPLIED scope (row|col|rowgroup|colgroup) #IMPLIED align (left|center|right|justify|char) #IMPLIED valign (top|middle|bottom|baseline) #IMPLIED>
+<!ATTLIST (colgroup | col) span NUMBER 1 width CDATA #IMPLIED>
+<!ATTLIST ol start NUMBER #IMPLIED type CDATA #IMPLIED>
+<!ATTLIST li value NUMBER #IMPLIED>
+<!ATTLIST script src CDATA #IMPLIED type CDATA #IMPLIED defer (defer) #IMPLIED async (async) #IMPLIED>
+<!ATTLIST style type CDATA "text/css" media CDATA #IMPLIED>
+<!ATTLIST iframe src CDATA #IMPLIED width CDATA #IMPLIED height CDATA #IMPLIED frameborder CDATA #IMPLIED scrolling (yes|no|auto) auto>
+<!ATTLIST area shape (rect|circle|poly|default) rect coords CDATA #IMPLIED href CDATA #IMPLIED alt CDATA #IMPLIED nohref (nohref) #IMPLIED>
+<!ATTLIST map name CDATA #IMPLIED>
+<!ATTLIST meta name CDATA #IMPLIED content CDATA #IMPLIED http-equiv CDATA #IMPLIED charset CDATA #IMPLIED>
+<!ATTLIST link rel CDATA #IMPLIED href CDATA #IMPLIED type CDATA #IMPLIED media CDATA #IMPLIED>
+<!ATTLIST base href CDATA #IMPLIED>
 """
 
   /** Parsed once per JVM — the executor-local DTD cache. */

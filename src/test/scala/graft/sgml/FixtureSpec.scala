@@ -150,6 +150,33 @@ class FixtureSpec extends AnyFunSuite {
     assert(r.errors.exists(_.code == "required-attribute-missing"))
   }
 
+  test("F10b html4 bundled attlists: defaults fire without a per-doc DOCTYPE") {
+    val c = cfg(Dialect.Html4, SpaceMode.SgmlMode)
+    val r = SgmlParser.parse(
+      "<html><body><form><input name=q><table><tr><td>x</table></form></body></html>", c)
+    def find(n: Node, name: String): Option[Node.Elem] = n match {
+      case e: Node.Elem =>
+        if (e.name == name) Some(e)
+        else e.children.iterator.flatMap(find(_, name)).nextOption()
+      case _ => None
+    }
+    val root = r.content.collectFirst { case e: Node.Elem => e }.get
+    val form = find(root, "form").get
+    val attrs = form.attrs.map(a => a.name -> a.value).toMap
+    assert(attrs("method") == AttrValue.Str("get")) // HTML4 default (get|post) get
+    assert(attrs("enctype") == AttrValue.Str("application/x-www-form-urlencoded"))
+    val input = find(root, "input").get
+    assert(input.attrs.map(a => a.name -> a.value).toMap
+      .get("type").contains(AttrValue.Str("text"))) // enumerated default
+    val td = find(root, "td").get
+    val tdAttrs = td.attrs.map(a => a.name -> a.value).toMap
+    assert(tdAttrs("rowspan") == AttrValue.Str("1") || tdAttrs("rowspan") == AttrValue.Num(1L))
+    // defaulted attrs survive serialization (the user-visible surface)
+    val xml = Serializer.xml(r.content, canonical = true)
+    assert(xml.contains("method=\"get\""))
+    assert(xml.contains("type=\"text\""))
+  }
+
   test("F11 whitespace modes") {
     val doc = "<d>\n  a  b\n</d>"
     def run(m: SpaceMode) =
