@@ -155,6 +155,7 @@ object SparkEntry {
     "xq2_xpath_descendant" -> ((s, dir) => XPathOps.descendantAll(s, dir)),
     "xq3_xpath_positional" -> ((s, dir) => XPathOps.positional(s, dir)),
     "xq4_xpath_window" -> ((s, dir) => XPathOps.positionalWindow(s, dir)),
+    "xq5_xpath_spec_interp" -> ((s, dir) => XPathOps.specInterpreter(s, dir)),
 
     // ---- deduplication ----------------------------------------------------
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
@@ -500,6 +501,15 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn,
         |  COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt FROM nation) t
         |WHERE rn = 2 OR rn = cnt
+        |GROUP BY n_regionkey""".stripMargin,
+    "xq5_xpath_spec_interp" ->
+      """SELECT n_regionkey AS region_key,
+        | MAX(CASE WHEN rn = 2 THEN n_name END) AS second_nation,
+        | MAX(CASE WHEN rn = cnt THEN n_name END) AS last_nation,
+        | CAST(MAX(CASE WHEN rn = 1 THEN n_nationkey END) AS BIGINT) AS first_key
+        |FROM (SELECT n_regionkey, n_name, n_nationkey,
+        |  ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn,
+        |  COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt FROM nation) t
         |GROUP BY n_regionkey""".stripMargin,
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,

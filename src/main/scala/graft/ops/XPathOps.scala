@@ -75,6 +75,49 @@ object XPathOps {
       expr("xpath_string(xml, 'region/nation[2]/name')").as("second_nation"),
       expr("xpath_string(xml, 'region/nation[last()]/name')").as("last_nation"))
 
+  /** One XML doc per region with nations as attributed children, in key
+    * order: `<region id="R"><nation key="K"><name>N</name></nation>…</region>`. */
+  def regionXmlAttr(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy(col("n_regionkey"))
+      .agg(concat(
+        lit("<region id=\""), col("n_regionkey").cast("string"), lit("\">"),
+        concat_ws("", sort_array(collect_list(struct(col("n_nationkey"),
+          concat(lit("<nation key=\""), col("n_nationkey"),
+            lit("\"><name>"), col("n_name"),
+            lit("</name></nation>")).as("frag")))).getField("frag")),
+        lit("</region>")).as("xml"))
+
+  /** Q1-Q5/Q9 via the NATIVE spec interpreter ([[graft.sgml.XPathSpec]] —
+    * the reference's `xpath.pl` spec dialect evaluated over the task-local
+    * DOM, closing round-1 gap #2): positional `(N)`/`(last)`, attribute
+    * coercion `@key(integer)`, text steps, first-solution (`xpath_chk`).
+    * One parse + three spec evaluations per row inside a single UDF —
+    * narrow, shuffle-free (the groupBy below builds the per-region doc,
+    * mirroring how per-doc trees already exist in the extract pipeline). */
+  def specInterpreter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sgml.{Dialect, ParserConfig, SgmlParser, SpaceMode, XPathSpec}
+    val cfg = ParserConfig(dialect = Dialect.Xml, space = SpaceMode.Preserve)
+    def p(s: String) = XPathSpec.parse(s)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    val pSecond = p("//nation(2)/name/text")
+    val pLast = p("//nation(last)/name/text")
+    val pKey = p("//nation(1)/@key(integer)")
+    val evalAll = udf((xml: String) => {
+      val r = SgmlParser.parse(if (xml == null) "" else xml, cfg)
+      Seq(
+        XPathSpec.first(r.content, pSecond).orNull,
+        XPathSpec.first(r.content, pLast).orNull,
+        XPathSpec.first(r.content, pKey).orNull)
+    })
+    regionXmlAttr(spark, sfDir)
+      .select(col("n_regionkey").as("region_key"), evalAll(col("xml")).as("v"))
+      .select(col("region_key"),
+        col("v")(0).as("second_nation"),
+        col("v")(1).as("last_nation"),
+        col("v")(2).cast("long").as("first_key"))
+  }
+
   /** The same positional query via windows (the scale path for span
     * tables: no serialized doc needed). Q3 + Q8. */
   def positionalWindow(spark: SparkSession, sfDir: String): DataFrame = {
