@@ -28,9 +28,9 @@ final class SgmlParser(cfg: ParserConfig) {
 
   /** Feed a chunk of markup text starting at char offset `baseOffset`.
     * Repeated calls continue the same parse (incremental API). */
-  def feed(text: String, baseOffset: Int = -1): this.type = {
+  def feed(text: CharSequence, baseOffset: Int = -1): this.type = {
     if (baseOffset >= 0) tokenizer.setOffset(baseOffset)
-    chars += text.length
+    chars += text.length()
     if (chars > cfg.maxDocChars) {
       log.add("doc-too-large", baseOffset.max(0), s"> ${cfg.maxDocChars} chars")
       return this

@@ -85,7 +85,7 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
     entBuf.setLength(0); entStart = 0; entReturn = S_TEXT; injectDepth = 0
   }
 
-  def feed(s: String): Unit = {
+  def feed(s: CharSequence): Unit = {
     var i = 0
     val n = s.length
     while (i < n) {
