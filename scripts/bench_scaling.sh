@@ -1,11 +1,11 @@
 #!/usr/bin/env bash
 # Two-parallelism scaling evidence (BASELINE.md protocol, north-rule proxy).
 #
-# Runs the IDENTICAL extraction job + input at N=8 and 4N=32 cores, each in
-# its own JVM. The N=8 level is pinned to 8 physical cores with taskset and
-# -XX:ActiveProcessorCount=8 so the JVM (GC, JIT, thread pools) honestly
-# behaves like an 8-core executor — otherwise the baseline borrows the other
-# 24 cores for GC/compilation and the efficiency ratio is meaningless.
+# Runs the IDENTICAL extraction job + input at N=1 executor (2 cores) and
+# 4N=4 executors (8 cores), each level its own driver JVM + real executor
+# JVMs. Executor JVMs are sized honestly (ActiveProcessorCount=cores)
+# so each behaves like a real 2-core executor — otherwise a level borrows
+# the idle cores for GC/compilation and the efficiency ratio is meaningless.
 #
 # Usage: scripts/bench_scaling.sh [sf_dir] [amp]
 set -euo pipefail
@@ -56,4 +56,4 @@ echo "$J32"
 TP8=$(echo "$J8" | sed -E 's/.*"value":([0-9.]+).*/\1/')
 TP32=$(echo "$J32" | sed -E 's/.*"value":([0-9.]+).*/\1/')
 EFF=$(python3 -c "print(f'{$TP32/(4*$TP8):.3f}')")
-echo "{\"metric\":\"scaling_efficiency\",\"value\":$EFF,\"unit\":\"ratio\",\"queries\":{\"docs_per_sec_n8\":$TP8,\"docs_per_sec_n32\":$TP32},\"sf\":\"$SF_DIR\"}"
+echo "{\"metric\":\"scaling_efficiency\",\"value\":$EFF,\"unit\":\"ratio\",\"queries\":{\"executors_n\":1,\"docs_per_sec_n\":$TP8,\"executors_4n\":4,\"docs_per_sec_4n\":$TP32},\"sf\":\"$SF_DIR\"}"

@@ -223,6 +223,6 @@ object Bench {
     val tp8 = measure("8")
     val tp32 = measure("32")
     val eff = tp32 / (4.0 * tp8)
-    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","queries":{"docs_per_sec_n8":$tp8%.0f,"docs_per_sec_n32":$tp32%.0f},"sf":"$sfDir"}""")
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","queries":{"n_cores":8,"docs_per_sec_n":$tp8%.0f,"4n_cores":32,"docs_per_sec_4n":$tp32%.0f},"sf":"$sfDir"}""")
   }
 }

@@ -219,18 +219,27 @@ object SgmlExtract {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val cfg = config.toParserConfig
-      val parser = new SgmlParser(cfg)
+      var parser = new SgmlParser(cfg)
       it.map { doc =>
-        val r = try { parser.reset()
+        // mirror extract(): a throw replaces the possibly-corrupt reused
+        // parser and surfaces as (xml_out = null, error != null) instead
+        // of silently serializing a poisoned doc as ''
+        try {
+          parser.reset()
           if (doc.spans != null) doc.spans.foreach { s =>
             if (s.kind == "media") parser.media(s.media_ref, s.offset)
             else if (s.text != null) parser.feed(s.text, s.offset)
           }
-          parser.finish()
-        } catch { case _: Throwable => ParseResult(Vector.empty, Vector.empty) }
-        (doc.doc_id, Serializer.xml(r.content, canonical = true))
+          val r = parser.finish()
+          (doc.doc_id, Serializer.xml(r.content, canonical = true), null: String)
+        } catch {
+          case e: Throwable =>
+            parser = new SgmlParser(cfg) // state unknown after throw
+            (doc.doc_id, null: String,
+              "internal-error: " + String.valueOf(e.getMessage).take(200))
+        }
       }
-    }.toDF("doc_id", "xml_out")
+    }.toDF("doc_id", "xml_out", "error")
   }
 
   /** SQL surface: `sgml_spans(text)` → array of span structs, usable with

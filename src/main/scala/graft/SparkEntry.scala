@@ -86,7 +86,8 @@ object SparkEntry {
       // materialized by tag-omission repair and the media passthrough)
       val docs = SgmlExtract.wrapDocumentsMarked(s, dir)
       SgmlExtract.serializeCanonical(docs,
-        SgmlExtract.Config(dialect = "html4", space = "preserve"))
+          SgmlExtract.Config(dialect = "html4", space = "preserve"))
+        .select(col("doc_id"), col("xml_out")) // error column: none expected here
     }),
 
     // ---- relational ops around the kernel --------------------------------

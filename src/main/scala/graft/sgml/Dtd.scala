@@ -137,6 +137,14 @@ final case class Dtd(
     * (measured at ~23% of kernel CPU on the old path: a failed `<p>`
     * inside `<p>` scanned the ~40-symbol inline group twice per doc). */
   @transient lazy val omitStartElems: Array[ElementDef] =
+    // Tie-break contract: candidates are probed in ALPHABETICAL name
+    // order, not content-model order. When several omissible-start
+    // elements are simultaneously steppable from the same DFA state the
+    // inserted element is the alphabetically first — deterministic, and
+    // indistinguishable for the bundled HTML4 DTD (its candidates —
+    // tbody/head/body — are never steppable from the same state). A
+    // custom DTD needing strict content-model-order repair should not
+    // declare multiple concurrently-steppable omissible starts.
     elements.valuesIterator.filter(_.omitStart).toArray.sortBy(_.name)
   /** Fully omissible (start+end) — the one-shot relaxed repair step. */
   @transient lazy val omitStartEndElems: Array[ElementDef] =

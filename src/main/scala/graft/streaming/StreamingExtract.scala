@@ -21,8 +21,11 @@ final case class Chunk(
     media_ref: String,
     offset: Int)
 
-/** Buffered chunks for one in-flight document (the keyed state). */
-final case class DocBuffer(chunks: Seq[Chunk])
+/** Buffered chunks for one in-flight document (the keyed state). `done`
+  * marks a tombstone: the doc already emitted (last=true or timeout
+  * flush), so stragglers arriving in later micro-batches are dropped
+  * instead of re-opening state and emitting a duplicate doc_id. */
+final case class DocBuffer(chunks: Seq[Chunk], done: Boolean = false)
 
 /** Structured Streaming surface of the extraction engine.
   *
@@ -72,19 +75,40 @@ object StreamingExtract {
       else out
     }
 
+    // After emitting a doc the key keeps a TOMBSTONE (empty, done=true)
+    // so late/out-of-order stragglers are dropped — append-mode consumers
+    // never see a second row for the same doc_id. With a timeout the
+    // tombstone expires after the same TTL as partials (state stays
+    // bounded by in-flight + recently-completed docs); with timeout
+    // disabled (bounded runs / tests) tombstones live for the run, which
+    // is bounded by the run's own doc count.
     chunks
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState[DocBuffer, Extracted](
         OutputMode.Append, timeoutConf) {
         (docId: String, newChunks: Iterator[Chunk], state: GroupState[DocBuffer]) =>
+          def tombstone(): Unit = {
+            state.update(DocBuffer(Seq.empty, done = true))
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+          }
           if (state.hasTimedOut) {
-            val buffered = state.getOption.map(_.chunks).getOrElse(Seq.empty)
-            state.remove()
-            Iterator.single(parseBuffered(docId, buffered, incomplete = true))
+            val st = state.getOption
+            if (st.exists(_.done)) { state.remove(); Iterator.empty } // GC tombstone
+            else {
+              // flush the abandoned partial, then tombstone it too — a
+              // straggler after the flush must not re-open the doc
+              val buffered = st.map(_.chunks).getOrElse(Seq.empty)
+              tombstone()
+              Iterator.single(parseBuffered(docId, buffered, incomplete = true))
+            }
+          } else if (state.getOption.exists(_.done)) {
+            newChunks.foreach(_ => ()) // drain + drop stragglers
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            Iterator.empty
           } else {
             val buffered = state.getOption.map(_.chunks).getOrElse(Seq.empty) ++ newChunks
             if (buffered.exists(_.last)) {
-              state.remove()
+              tombstone()
               Iterator.single(parseBuffered(docId, buffered, incomplete = false))
             } else {
               state.update(DocBuffer(buffered))

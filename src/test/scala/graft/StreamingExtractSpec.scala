@@ -71,6 +71,19 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed("A").spans.last.media_ref === "asset_A.png")
   }
 
+  test("straggler chunks after last=true are dropped (tombstone), no dup doc_id") {
+    import spark.implicits._
+    val mem = MemoryStream[Chunk](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt4").toString
+    // batch 1 completes doc S; batch 2 delivers a late straggler for S
+    mem.addData(Seq(Chunk("S", 0, last = true, "text", html2, null, 0)))
+    mem.addData(Seq(Chunk("S", 1, last = false, "text", "<p>late", null, 999)))
+    StreamingExtract.runToMemory(spark, mem.toDS(), cfg, "stream_tomb", ckpt)
+    val rows = spark.table("stream_tomb").as[Extracted].collect()
+    assert(rows.count(_.doc_id == "S") === 1, "tombstone must swallow the straggler")
+    assert(rows.head.spans.nonEmpty)
+  }
+
   test("chunked streaming: processing-time timeout flushes incomplete docs") {
     import spark.implicits._
     val mem = MemoryStream[Chunk](spark)
