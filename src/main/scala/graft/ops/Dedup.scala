@@ -106,15 +106,21 @@ object Dedup {
   }
 
   /** Candidate pairs from LSH buckets, verified with exact n-gram Jaccard.
-    * The self-join is an equi-join on (band, band_hash) — no cross join. */
+    * Candidate generation is bucket-collect, not a self-join: ONE pass
+    * computes signatures (the dominant cost — a self-join recomputes the
+    * minhash UDF on both sides), one shuffle groups by (band, band_hash),
+    * and pairs explode within each bucket. Work is Σ|bucket|² either way
+    * (inherent to LSH); a pathological all-identical corpus concentrates
+    * in one bucket under both shapes. */
   def minhashPairs(spark: SparkSession, sfDir: String, minJaccard: Double = 0.5): DataFrame = {
     val bands = minhashBands(spark, sfDir)
-    val cands = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cands = bands
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .distinct()
     val texts = documents(spark, sfDir).select(col("doc_id"), col("text"))
     val jac = udf((x: String, y: String) => ngramJaccard(x, y))
@@ -191,7 +197,8 @@ object Dedup {
   }
 
   /** Near-dup pairs with hamming distance ≤ maxDist via 4×16-bit band
-    * blocking (a pair within distance 3 must agree on ≥1 band). */
+    * blocking (a pair within distance 3 must agree on ≥1 band). Same
+    * bucket-collect shape as minhashPairs: one pass + one shuffle. */
   def simhashPairs(spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame = {
     val sh = simhashes(spark, sfDir)
     val banded = sh.select(col("doc_id"), col("simhash"),
@@ -201,11 +208,13 @@ object Dedup {
             .bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.band_val").as("band_val"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
+    banded
+      .groupBy(col("band"), col("band_val"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)

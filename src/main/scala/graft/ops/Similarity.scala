@@ -143,9 +143,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val emb = embeddings(spark, sfDir)
+    val raw = embeddings(spark, sfDir)
+    val n = raw.count() // parquet metadata count — no data scan
+    val emb = raw
       .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
-    val n = emb.count()
     val fitSet =
       (if (n <= FitSampleCap) emb
        else emb.sample(withReplacement = false, FitSampleCap.toDouble / n, seed = 42L))
@@ -175,7 +176,7 @@ object Similarity {
       d.zipWithIndex.sortBy { case (dist, idx) => (dist, idx) }
         .take(nprobe).map(_._2)
     })
-    val queries = emb.filter(col("vec_id") < numQueries)
+    val queries = cells.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(probesOf(col("embedding"))).as("q_cell"))
     val scored = cells
@@ -197,12 +198,18 @@ object Similarity {
     * deterministic and the e5 oracle pins them. */
   def annRecall(spark: SparkSession, sfDir: String,
       numQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
     val total = numQueries.toLong * k
+    // ground truth is numQueries×k rows — materialize ONCE driver-side
+    // (bounded by construction) instead of re-running the brute-force
+    // scan for each approximate method's semi-join
     val exact = knnBruteForce(spark, sfDir, numQueries, k)
       .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("query_id", "neighbor_id")
     def recallOf(approx: DataFrame, method: String): DataFrame =
       approx.select(col("query_id"), col("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .select(lit(method).as("method"), col("hits"), lit(total).as("total"),
           round(col("hits") / total, 6).as("recall"))
@@ -210,15 +217,21 @@ object Similarity {
       .unionAll(recallOf(knnIvf(spark, sfDir, numQueries, k), "ivf"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: single-table bucket join +
+  /** Embedding-cosine near-duplicate pairs: single-table bucketing +
     * threshold (one table keeps the pair stream duplicate-free without a
-    * distinct; oracle-verified against the same closed-form planes). */
+    * distinct; oracle-verified against the same closed-form planes).
+    * Bucket-collect shape: one pass over the corpus, one shuffle, pairs
+    * explode within each bucket. */
   def embeddingNearDups(spark: SparkSession, sfDir: String,
       minSim: Double = 0.95, nPlanes: Int = DefaultPlanes): DataFrame = {
     val bucketed = lshBuckets(spark, sfDir, nPlanes, nTables = 1)
-    bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    bucketed
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
       .filter(col("sim") >= minSim)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("sim"))
