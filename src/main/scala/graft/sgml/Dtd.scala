@@ -91,8 +91,9 @@ final case class ElementDef(
     attrs: Map[String, AttrDecl] = Map.empty) {
 
   /** Compiled once and cached — mirrors `model.c`'s per-element state-engine
-    * cache [V]. */
-  lazy val dfa: Option[Dfa] = content match {
+    * cache [V]. @transient: recompiled lazily per JVM rather than shipped
+    * (a ParserConfig carrying a catalog Resolver closes over Dtd values). */
+  @transient lazy val dfa: Option[Dfa] = content match {
     case ContentKind.Modelled(m) => Some(Dfa.compile(m))
     case _                       => None
   }
@@ -179,7 +180,7 @@ final class Dfa private[sgml] (
     val first: Array[Int],
     private val lastBits: Array[Boolean],
     val follow: Array[Array[Int]],
-    val symOf: Array[String]) {
+    val symOf: Array[String]) extends Serializable {
 
   def isLast(p: Int): Boolean = lastBits(p)
   def size: Int = symOf.length

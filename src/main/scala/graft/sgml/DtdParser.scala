@@ -402,10 +402,8 @@ object DtdParser {
     sb.toString
   }
 
-  private[sgml] def isNameStart(c: Char): Boolean =
-    Character.isLetter(c) || c == '_' || c == ':'
-  private[sgml] def isNameChar(c: Char): Boolean =
-    Character.isLetterOrDigit(c) || c == '_' || c == ':' || c == '-' || c == '.'
+  private[sgml] def isNameStart(c: Char): Boolean = XmlChars.isNameStart(c)
+  private[sgml] def isNameChar(c: Char): Boolean = XmlChars.isNameChar(c)
 
   /** Tiny backtracking lexer over a declaration body. */
   private final class Lex(s: String) {

@@ -20,6 +20,11 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
 
   private val fold = cfg.dialect.foldCase
   private val xml = cfg.dialect.xmlSyntax
+  // SGML SHORTTAG NET: `<tag/content/` — `/` in a start tag closes the
+  // tag and enables a bare `/` in content as the end tag (`parser.c —
+  // NET-enabling start tags` [V]). SGML dialect only; XML/HTML keep
+  // their self-close lexing.
+  private val sgmlNet = cfg.dialect == Dialect.Sgml
 
   private var state = S_TEXT
   private var pos = 0          // global char offset (per contract: int32)
@@ -51,6 +56,7 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
   // marked sections (T9/T10)
   private val msKw = new java.lang.StringBuilder(16)
   private var msDepth = 0
+  private var netDepth = 0     // open NET-enabled elements (SGML only)
   private var msIgnoreDepth = 0
 
   // raw content: CDATA sections + declared CDATA/RCDATA elements (T9/T11)
@@ -73,7 +79,7 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
   /** Full reset for cross-document reuse (one tokenizer per partition —
     * kills the per-doc fixed allocation that dominates small docs). */
   def reset(): Unit = {
-    state = S_TEXT; pos = 0; frozen = false
+    state = S_TEXT; pos = 0; frozen = false; netDepth = 0
     textBuf.setLength(0); textStart = 0
     nameBuf.setLength(0); tagStart = 0; attrs = Nil
     attrName.setLength(0); attrVal.setLength(0); attrOff = 0; quote = 0
@@ -100,7 +106,8 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
         var break = false
         while (j < n && !break) {
           val cc = s.charAt(j)
-          if (cc == '<' || cc == '&' || (cc == ']' && msDepth > 0)) break = true
+          if (cc == '<' || cc == '&' || (cc == ']' && msDepth > 0) ||
+              (cc == '/' && netDepth > 0)) break = true
           else j += 1
         }
         if (j > i) {
@@ -186,6 +193,9 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
     case S_TEXT =>
       if (c == '<') { state = S_LT; tagStart = pos }
       else if (c == '&') startEntity(S_TEXT)
+      else if (c == '/' && netDepth > 0) { // NET end tag ≡ </> (empty close)
+        flushText(); sink(Event.Close("", pos)); netDepth -= 1
+      }
       else if (c == ']' && msDepth > 0) state = S_TEXT_B1
       else appendText(c)
 
@@ -218,7 +228,7 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
     case S_STAGNAME =>
       if (isNameChar(c)) nameBuf.append(c)
       else if (c == '>') finishOpen(false)
-      else if (c == '/') state = S_SLASH
+      else if (c == '/') netOrSlash()
       else if (c.isWhitespace) state = S_STAG
       else if (c == '<') { // SGML unclosed start tag: <a<b>
         log.add("unclosed-tag", pos, nameBuf.toString)
@@ -228,7 +238,7 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
     case S_STAG =>
       if (c.isWhitespace) ()
       else if (c == '>') finishOpen(false)
-      else if (c == '/') state = S_SLASH
+      else if (c == '/') netOrSlash()
       else if (isNameStart(c)) {
         attrName.setLength(0); attrName.append(c); attrOff = pos
         state = S_ANAME
@@ -242,14 +252,14 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
       else if (c == '=') { attrVal.setLength(0); state = S_AVALPRE }
       else if (c.isWhitespace) state = S_ANAME_POST
       else if (c == '>') { pushBoolAttr(); finishOpen(false) }
-      else if (c == '/') { pushBoolAttr(); state = S_SLASH }
+      else if (c == '/') { pushBoolAttr(); netOrSlash() }
       else { log.add("bad-name-char", pos, c.toString) }
 
     case S_ANAME_POST =>
       if (c.isWhitespace) ()
       else if (c == '=') { attrVal.setLength(0); state = S_AVALPRE }
       else if (c == '>') { pushBoolAttr(); finishOpen(false) }
-      else if (c == '/') { pushBoolAttr(); state = S_SLASH }
+      else if (c == '/') { pushBoolAttr(); netOrSlash() }
       else if (isNameStart(c)) {
         pushBoolAttr()
         attrName.setLength(0); attrName.append(c); attrOff = pos
@@ -504,6 +514,12 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
     attrVal.setLength(0)
   }
 
+  /** `/` inside a start tag: SGML → NET-enabling (tag ends here, a bare
+    * `/` in content closes it); XML/HTML → expect a self-close `/>`. */
+  private def netOrSlash(): Unit =
+    if (sgmlNet) { finishOpen(false); netDepth += 1 }
+    else state = S_SLASH
+
   private def finishOpen(selfClosingMark: Boolean): Unit = {
     val name = foldName(nameBuf.toString)
     sink(Event.Open(name, attrs.reverse, selfClosingMark, tagStart))
@@ -657,14 +673,10 @@ object Tokenizer {
   final val S_ENT = 36
   final val S_ENT_NUM = 37
 
-  /** XML name-character classification (`xml_unicode.c` [V]) — compact
-    * predicate built on java.lang.Character classes (SURVEY.md T13). */
-  def isNameStart(c: Char): Boolean =
-    Character.isLetter(c) || c == '_' || c == ':'
-  def isNameChar(c: Char): Boolean =
-    Character.isLetterOrDigit(c) || c == '_' || c == ':' || c == '-' ||
-    c == '.' || Character.getType(c) == Character.COMBINING_SPACING_MARK ||
-    Character.getType(c) == Character.NON_SPACING_MARK
+  /** XML name-character classification: exact XML 1.0 tables
+    * (XmlChars — the `xml_unicode.c` analogue [V], SURVEY.md T13). */
+  def isNameStart(c: Char): Boolean = XmlChars.isNameStart(c)
+  def isNameChar(c: Char): Boolean = XmlChars.isNameChar(c)
 }
 
 /** Per-doc error accumulator with `max_errors` budget

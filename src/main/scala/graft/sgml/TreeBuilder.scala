@@ -479,8 +479,9 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
       while (i < lx.length && !lx.charAt(i).isWhitespace && lx.charAt(i) != '[') i += 1
       val rootName = lx.substring(0, i)
       val after = lx.substring(i)
-      // external id → catalog (PUBLIC/SYSTEM) resolution (S3)
-      val fromCatalog = Catalog.resolveDoctype(rootName, after, cfg.dialect)
+      // external id → catalog (PUBLIC/SYSTEM/DOCTYPE) resolution (S3):
+      // the configured TR9401 resolver first, bundled heuristic inside
+      val fromCatalog = cfg.catalog.resolveExternal(rootName, after, cfg.dialect)
       fromCatalog.foreach(d => holder.dtd = holder.dtd.merge(d))
       // internal subset
       val lb = after.indexOf('[')

@@ -98,7 +98,11 @@ final case class ParserConfig(
     validate: Boolean = false,
     /** Main-content extraction: strip boilerplate subtrees before span
       * emission (OFF for reference conformance — Boilerplate.scala). */
-    boilerplate: Boolean = false)
+    boilerplate: Boolean = false,
+    /** PUBLIC/SYSTEM/DOCTYPE external-id resolution (OASIS TR9401
+      * catalog, parsed driver-side — Catalog.scala). Defaults to the
+      * bundled HTML4 mapping. */
+    catalog: Catalog.Resolver = Catalog.bundled)
 
 /** Typed attribute value (`parser.c — attribute value conversion`;
   * `sgml2pl.c — typed value → Prolog term` [V]). */

@@ -177,6 +177,28 @@ class FixtureSpec extends AnyFunSuite {
     assert(xml.contains("type=\"text\""))
   }
 
+  test("F21 sgml NET-enabling start tag: <b/bold/ closes at the bare slash") {
+    val c = cfg(Dialect.Sgml)
+    val r = SgmlParser.parse("<d>x <b/bold/ y</d>", c)
+    assert(kts(r.spans(c)) == Vector(
+      ("text", "x ", null), ("text", "bold", null), ("text", " y", null)))
+    val d = r.content.collectFirst { case e: Node.Elem => e }.get
+    val b = d.children.collectFirst { case e: Node.Elem => e }.get
+    assert(b.name == "b")
+    assert(XPathSpec.textContent(b) == "bold")
+    // nested: inner NET closes first, outer at the second slash
+    val r2 = SgmlParser.parse("<d><a/x<b/y/z/</d>", c)
+    val a = r2.content.collectFirst { case e: Node.Elem => e }.get
+      .children.collectFirst { case e: Node.Elem => e }.get
+    assert(a.name == "a")
+    assert(XPathSpec.textContent(a) == "xyz")
+    assert(a.children.collectFirst { case e: Node.Elem => e.name }.contains("b"))
+    // XML dialect unaffected: <b/> stays a self-close, '/' is text
+    val cx = cfg(Dialect.Xml)
+    val r3 = SgmlParser.spans("<d>a/b <br/>c</d>", cx)._1
+    assert(r3.map(_.text) == Vector("a/b ", "c"))
+  }
+
   test("F11 whitespace modes") {
     val doc = "<d>\n  a  b\n</d>"
     def run(m: SpaceMode) =
