@@ -243,7 +243,9 @@ object SgmlExtract {
   }
 
   /** SQL surface: `sgml_spans(text)` → array of span structs, usable with
-    * LATERAL VIEW / explode (SURVEY.md §2.7 UDF surface). */
+    * LATERAL VIEW / explode, and `sgml_xpath(text, spec, dialect)` → array
+    * of string solutions of an xpath.pl-style spec evaluated over the
+    * parsed DOM (SURVEY.md §2.7 UDF surface, §2.4 Q1-Q9). */
   def registerUdfs(spark: SparkSession): Unit = {
     val parse = (text: String, dialect: String, space: String) => {
       val cfg = Config(dialect = dialect, space = space).toParserConfig
@@ -251,6 +253,11 @@ object SgmlExtract {
       spans.map(s => OutSpan(s.kind, s.text, s.media_ref, s.offset))
     }
     spark.udf.register("sgml_spans", parse)
+    val xpath = (text: String, spec: String, dialect: String) => {
+      val cfg = Config(dialect = dialect, space = "preserve").toParserConfig
+      XPathSpec.query(text, if (spec == null) "" else spec, cfg)
+    }
+    spark.udf.register("sgml_xpath", xpath)
   }
 
   /** Size-aware repartition for skewed giant docs (north rule; SURVEY.md

@@ -151,6 +151,26 @@ object SparkEntry {
         expr("try_cast(event_type AS double)").as("bad_num"))
     }),
 
+    "q7_xsd_types" -> ((s, dir) => {
+      // xsdp_types surface (SURVEY.md §2.6): lexical validation +
+      // graceful typed conversion, all codegen'd (rlike + cast, no UDF)
+      s.read.parquet(s"$dir/events.parquet").select(
+        col("event_id"),
+        XsdTypes.validate(col("event_type"), "NCName").as("is_ncname"),
+        XsdTypes.convert(get_json_object(col("props"), "$.k"), "integer").as("k_int"),
+        XsdTypes.convert(date_format(col("ts"), "yyyy"), "gYear").as("yr4"),
+        XsdTypes.convert(
+          when(pmod(col("event_id"), lit(2)) === 0, "true").otherwise("false"),
+          "boolean").as("bool_flag"),
+        // graceful failure: non-numeric lexical form → null, never an error
+        XsdTypes.convert(col("event_type"), "integer").as("bad_int"))
+    }),
+    "t6_iso639" -> ((s, dir) =>
+      // iso_639 surface: plan-literal map lookup (codegen, no join/UDF)
+      TextOps.documents(s, dir).select(col("doc_id"), col("lang"),
+        Iso639.nameOf(col("lang")).as("lang_name"),
+        Iso639.isKnown(col("lang")).as("known"))),
+
     // ---- xpath query surface (reference xpath.pl — SURVEY.md §2.4) -------
     "xq1_xpath_child" -> ((s, dir) => XPathOps.childAxis(s, dir)),
     "xq2_xpath_descendant" -> ((s, dir) => XPathOps.descendantAll(s, dir)),
@@ -512,6 +532,30 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn,
         |  COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt FROM nation) t
         |GROUP BY n_regionkey""".stripMargin,
+    // patterns interpolated from XsdTypes.patterns — one source of truth,
+    // and they avoid lookarounds so Java regex (Spark) ≡ RE2 (DuckDB)
+    "q7_xsd_types" ->
+      s"""SELECT event_id,
+        | (event_type IS NOT NULL AND
+        |  regexp_matches(event_type, '${XsdTypes.patterns("NCName")}')) AS is_ncname,
+        | CASE WHEN regexp_matches(json_extract_string(props, '$$.k'),
+        |   '${XsdTypes.patterns("integer")}')
+        |   THEN CAST(regexp_replace(json_extract_string(props, '$$.k'), '^\\+', '') AS BIGINT)
+        | END AS k_int,
+        | CASE WHEN regexp_matches(strftime(ts, '%Y'), '${XsdTypes.patterns("gYear")}')
+        |   THEN CAST(substr(strftime(ts, '%Y'), 1, 4) AS BIGINT)
+        | END AS yr4,
+        | (event_id % 2 = 0) AS bool_flag,
+        | CASE WHEN regexp_matches(event_type, '${XsdTypes.patterns("integer")}')
+        |   THEN CAST(event_type AS BIGINT)
+        | END AS bad_int
+        |FROM events""".stripMargin,
+    "t6_iso639" ->
+      s"""WITH iso(code, name) AS (VALUES ${Iso639.names.toSeq.sorted
+            .map { case (c, n) => s"('$c', '$n')" }.mkString(", ")})
+        |SELECT d.doc_id, d.lang, i.name AS lang_name,
+        |  (i.name IS NOT NULL) AS known
+        |FROM documents d LEFT JOIN iso i ON i.code = lower(d.lang)""".stripMargin,
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -165,6 +165,11 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
         |LATERAL VIEW explode(sgml_spans(m, 'html4', 'sgml')) t AS s""".stripMargin)
       .collect()
     assert(n.map(_.getString(1)).toSeq == Seq("a", "b"))
+    // spec-interpreter SQL surface: xpath.pl dialect over the parsed DOM
+    val x = spark.sql(
+      """SELECT sgml_xpath('<ul><li>a<li>b</ul>', '//li(last)/text', 'html4') AS r""")
+      .collect()(0).getSeq[String](0)
+    assert(x == Seq("b"))
   }
 
   test("plan shape: column pruning reaches the scan before the kernel") {
