@@ -111,6 +111,22 @@ final case class ElementDef(
     case ContentKind.Empty       => false
     case _                       => true
   }
+
+  /** Declarations that require ACTION when the attribute is absent
+    * (#FIXED / literal default → inject; #REQUIRED → error). Pre-split so
+    * the per-start-tag defaulting pass skips elements whose attlist is
+    * all-#IMPLIED (the common case once core attrs are declared on every
+    * element) — the hot path stays allocation-free for attr-less tags. */
+  @transient lazy val actionAttrs: Array[AttrDecl] =
+    attrs.valuesIterator.filter(d => d.default match {
+      case AttrDefault.Fixed(_) | AttrDefault.Value(_) | AttrDefault.Required => true
+      case _ => false
+    }).toArray
+}
+
+object ElementDef {
+  /** Shared empty action list for undeclared elements (hot path). */
+  val noActions: Array[AttrDecl] = Array.empty
 }
 
 /** Immutable DTD — element map + entity tables (`dtd.h — struct dtd` [V]). */

@@ -39,6 +39,19 @@ final class SgmlParser(cfg: ParserConfig) {
     this
   }
 
+  /** Array twin of feed — the Spark kernel's zero-virtual-call hot path
+    * (fed straight from the reused UTF-8 decode buffer). */
+  def feedChars(a: Array[Char], len: Int, baseOffset: Int = -1): this.type = {
+    if (baseOffset >= 0) tokenizer.setOffset(baseOffset)
+    chars += len
+    if (chars > cfg.maxDocChars) {
+      log.add("doc-too-large", baseOffset.max(0), s"> ${cfg.maxDocChars} chars")
+      return this
+    }
+    tokenizer.feedArr(a, len)
+    this
+  }
+
   /** Interleaved media span passthrough at its input offset. */
   def media(ref: String, offset: Int): this.type = {
     tokenizer.media(ref, offset)

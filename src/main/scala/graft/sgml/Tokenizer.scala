@@ -91,23 +91,33 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
     entBuf.setLength(0); entStart = 0; entReturn = S_TEXT; injectDepth = 0
   }
 
+  // Bulk fast path for the two states that dominate real documents:
+  // plain text (S_TEXT) and raw CDATA-element content (S_RAW, e.g.
+  // <script>). Scan the run up to the next state-changing char and
+  // append it in ONE StringBuilder call instead of per-char dispatch
+  // (the reference's per-char putchar loop is the model for the slow
+  // path; the bulk path is an observationally identical shortcut).
+  //
+  // Two bodies, same shape: a char[] one (the Spark kernel feeds the
+  // reused decode buffer — direct array indexing, zero virtual calls in
+  // the hot loop) and a CharSequence one (String callers: tests,
+  // streaming, DTD paths). Rare-state flags (marked sections, NET) are
+  // hoisted out of the scan loop — they can only change via push(),
+  // which ends the scan.
+
   def feed(s: CharSequence): Unit = {
     var i = 0
     val n = s.length
     while (i < n) {
-      // Bulk fast path for the two states that dominate real documents:
-      // plain text (S_TEXT) and raw CDATA-element content (S_RAW, e.g.
-      // <script>). Scan the run up to the next state-changing char and
-      // append it in ONE StringBuilder call instead of per-char dispatch
-      // (the reference's per-char putchar loop is the model for the slow
-      // path; the bulk path is an observationally identical shortcut).
       if (state == S_TEXT && !log.overflowed && !frozen) {
+        val msActive = msDepth > 0
+        val netActive = netDepth > 0
         var j = i
         var break = false
         while (j < n && !break) {
           val cc = s.charAt(j)
-          if (cc == '<' || cc == '&' || (cc == ']' && msDepth > 0) ||
-              (cc == '/' && netDepth > 0)) break = true
+          if (cc == '<' || cc == '&' || (msActive && cc == ']') ||
+              (netActive && cc == '/')) break = true
           else j += 1
         }
         if (j > i) {
@@ -118,12 +128,13 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
         }
         if (i < n) { push(s.charAt(i)); i += 1 }
       } else if (state == S_RAW && !log.overflowed && !frozen) {
+        val rcdata = !rawIsCdata
         var j = i
         var break = false
         while (j < n && !break) {
           val cc = s.charAt(j)
           // RCDATA ('title') also stops at '&' (entity expansion)
-          if (cc == '<' || (!rawIsCdata && cc == '&')) break = true
+          if (cc == '<' || (rcdata && cc == '&')) break = true
           else j += 1
         }
         if (j > i) {
@@ -134,6 +145,49 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
         if (i < n) { push(s.charAt(i)); i += 1 }
       } else {
         push(s.charAt(i)); i += 1
+      }
+    }
+  }
+
+  /** Array twin of feed() — the Spark kernel's hot path. */
+  def feedArr(a: Array[Char], n: Int): Unit = {
+    var i = 0
+    while (i < n) {
+      if (state == S_TEXT && !log.overflowed && !frozen) {
+        val msActive = msDepth > 0
+        val netActive = netDepth > 0
+        var j = i
+        var break = false
+        while (j < n && !break) {
+          val cc = a(j)
+          if (cc == '<' || cc == '&' || (msActive && cc == ']') ||
+              (netActive && cc == '/')) break = true
+          else j += 1
+        }
+        if (j > i) {
+          if (textBuf.length() == 0) textStart = pos
+          textBuf.append(a, i, j - i)
+          pos += j - i
+          i = j
+        }
+        if (i < n) { push(a(i)); i += 1 }
+      } else if (state == S_RAW && !log.overflowed && !frozen) {
+        val rcdata = !rawIsCdata
+        var j = i
+        var break = false
+        while (j < n && !break) {
+          val cc = a(j)
+          if (cc == '<' || (rcdata && cc == '&')) break = true
+          else j += 1
+        }
+        if (j > i) {
+          rawBuf.append(a, i, j - i)
+          pos += j - i
+          i = j
+        }
+        if (i < n) { push(a(i)); i += 1 }
+      } else {
+        push(a(i)); i += 1
       }
     }
   }

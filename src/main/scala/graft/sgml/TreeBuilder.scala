@@ -372,8 +372,15 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
 
   private def typedAttrs(rawName: String, rawAttrs: List[RawAttr],
       edef: Option[ElementDef], scope: Map[String, String], off: Int): List[Attr] = {
+    // fast path: no attrs on the tag and nothing to inject/enforce — the
+    // common case even with the bundled attlists (core attrs are all
+    // #IMPLIED, which requires no action when absent)
+    val actions = edef match {
+      case Some(e) => e.actionAttrs
+      case None => ElementDef.noActions
+    }
+    if (rawAttrs.isEmpty && actions.length == 0) return Nil
     val decls = edef.map(_.attrs).getOrElse(Map.empty)
-    if (rawAttrs.isEmpty && decls.isEmpty) return Nil
     val seen = mutable.LinkedHashMap.empty[String, Attr]
     rawAttrs.foreach { ra =>
       val qn = if (cfg.dialect.namespaces) qualify(ra.name, scope, isAttr = true)
@@ -386,13 +393,16 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     }
     // attribute defaulting: #FIXED / literal defaults injected; #REQUIRED
     // enforced (`parser.c — add_default_attributes` [V])
-    decls.valuesIterator.foreach { d =>
+    var i = 0
+    while (i < actions.length) {
+      val d = actions(i)
       if (!seen.contains(d.name)) d.default match {
         case AttrDefault.Fixed(v) => seen += d.name -> Attr(d.name, convertAttr(v, Some(d), off))
         case AttrDefault.Value(v) => seen += d.name -> Attr(d.name, convertAttr(v, Some(d), off))
         case AttrDefault.Required => log.add("required-attribute-missing", off, s"$rawName/${d.name}")
         case _ =>
       }
+      i += 1
     }
     seen.values.toList
   }
