@@ -134,6 +134,18 @@ object SgmlExtract {
   val AssetSuffix = ".bin"
   val MalformedInfix = " <b>bold" // unclosed <b> injected after the text
   val MalformedSuffix = "</p></body></html>"
+  // SHORTREF wrapper (T14): delimiter and its replacement, shared with the
+  // x7 oracle (`replace(text, ShortrefDelim, ShortrefMarker)`).
+  val ShortrefDelim = "--"
+  val ShortrefMarker = "#"
+  val ShortrefProlog: String =
+    "<!DOCTYPE d [" +
+      "<!ELEMENT d - - (#PCDATA)>" +
+      s"""<!ENTITY mk "$ShortrefMarker">""" +
+      s"""<!SHORTREF m "$ShortrefDelim" mk>""" +
+      "<!USEMAP m d>" +
+      "]><d>"
+  val ShortrefClose = "</d>"
 
   /** Wrap with deterministic synthetic markup + an interleaved media span —
     * exercises tag parse, omission repair and media passthrough on the real
@@ -171,6 +183,20 @@ object SgmlExtract {
           lit("text").as("kind"),
           concat(lit(MarkedPrefix), col("text"),
             lit(MalformedInfix + MalformedSuffix)).as("text"),
+          lit(null).cast("string").as("media_ref"),
+          lit(0).as("offset"))).as("spans"))
+  }
+
+  /** Wrap as an SGML document whose internal DTD declares a SHORTREF map
+    * (delimiter `--` → entity `mk`) activated on the root via USEMAP —
+    * corpus-scale exercise of T14, SQL-reconstructable for the oracle. */
+  def wrapDocumentsShortref(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").cast("string").as("doc_id"),
+        array(struct(
+          lit("text").as("kind"),
+          concat(lit(ShortrefProlog), col("text"), lit(ShortrefClose)).as("text"),
           lit(null).cast("string").as("media_ref"),
           lit(0).as("offset"))).as("spans"))
   }

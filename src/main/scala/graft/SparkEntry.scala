@@ -80,6 +80,17 @@ object SparkEntry {
           size(col("spans")).cast("long").as("n_spans"))
     }),
 
+    "x7_shortref" -> ((s, dir) => {
+      // T14 at corpus scale: the SGML wrapper's SHORTREF map rewrites every
+      // `--` in the document text to the mk entity's replacement
+      val docs = SgmlExtract.wrapDocumentsShortref(s, dir)
+      SgmlExtract.extractDf(docs,
+          SgmlExtract.Config(dialect = "sgml", space = "preserve"))
+        .select(col("doc_id"),
+          expr("aggregate(spans, '', (acc, sp) -> acc || sp.text)").as("text"),
+          size(col("errors")).cast("long").as("n_errors"))
+    }),
+
     "x5_serialize_roundtrip" -> ((s, dir) => {
       // W1/W5: parse + canonical re-serialization; the DuckDB oracle
       // reconstructs the exact expected markup (incl. the implied <head>
@@ -494,6 +505,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "x3_parse_errors" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS n_errors FROM documents",
+    "x7_shortref" ->
+      s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        | replace(text, '${SgmlExtract.ShortrefDelim}', '${SgmlExtract.ShortrefMarker}') AS text,
+        | CAST(0 AS BIGINT) AS n_errors FROM documents""".stripMargin,
     "x4_boilerplate_strip" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS main_text,
         | CAST(1 AS BIGINT) AS n_spans FROM documents""".stripMargin,

@@ -129,12 +129,17 @@ object ElementDef {
   val noActions: Array[AttrDecl] = Array.empty
 }
 
-/** Immutable DTD — element map + entity tables (`dtd.h — struct dtd` [V]). */
+/** Immutable DTD — element map + entity tables (`dtd.h — struct dtd` [V]).
+  * `shortrefs`/`useMaps` carry the SHORTREF feature (T14): map name →
+  * ordered (delimiter, entity) pairs, and element name → map name (""
+  * encodes `#EMPTY` = deactivate). */
 final case class Dtd(
     doctype: Option[String],
     elements: Map[String, ElementDef],
     entities: Map[String, String],       // general entities → replacement text
-    paramEntities: Map[String, String]) {
+    paramEntities: Map[String, String],
+    shortrefs: Map[String, List[(String, String)]] = Map.empty,
+    useMaps: Map[String, String] = Map.empty) {
 
   /** Hot-path lookup: null-returning Java map avoids the per-call `Some`
     * allocation of immutable `Map.get` (measured hotspot; `util.c`'s
@@ -170,13 +175,21 @@ final case class Dtd(
   @transient lazy val omitStartMixedElems: Array[ElementDef] =
     omitStartElems.filter(_.mixed)
 
+  /** Compiled SHORTREF maps, invalid (unmatchable) delimiters dropped. */
+  @transient lazy val compiledShortrefs: Map[String, Array[Shortref.Rule]] =
+    shortrefs.map { case (m, prs) =>
+      m -> prs.iterator.flatMap { case (d, e) => Shortref.compile(d, e) }.toArray
+    }
+
   /** Merge: `this` takes priority for doctype; for declarations SGML keeps
     * the FIRST declaration seen, so existing entries in `this` win. */
   def merge(other: Dtd): Dtd = Dtd(
     doctype.orElse(other.doctype),
     other.elements ++ elements,
     other.entities ++ entities,
-    other.paramEntities ++ paramEntities)
+    other.paramEntities ++ paramEntities,
+    other.shortrefs ++ shortrefs,
+    other.useMaps ++ useMaps)
 }
 
 object Dtd {
@@ -185,8 +198,13 @@ object Dtd {
 
 /** Mutable holder shared by Tokenizer and TreeBuilder: a `<!DOCTYPE … [ … ]>`
   * internal subset updates the DTD mid-parse (`sgml.pl — dtd/2`;
-  * `parser.c — declaration mode` [V]). */
-final class DtdHolder(var dtd: Dtd)
+  * `parser.c — declaration mode` [V]). `activeShortrefs` is the SHORTREF
+  * map in effect at the current element-stack top (null = none) —
+  * maintained by TreeBuilder, read by the Tokenizer's PCDATA path; events
+  * flow synchronously, so the read is always consistent. */
+final class DtdHolder(var dtd: Dtd) {
+  var activeShortrefs: Array[Shortref.Rule] = null
+}
 
 /** Glushkov automaton over child-element names. Immutable; per-element
   * runs live in [[DfaRun]]. Spark-side analogue of `model.c —

@@ -199,8 +199,54 @@ object DtdParser {
             }
         }
 
-      case "NOTATION" | "SHORTREF" | "USEMAP" =>
-        (dtd, errs.result()) // recorded-as-skipped (SURVEY.md T14: out of scope)
+      case "SHORTREF" =>
+        // <!SHORTREF mapname "delim" entity ["delim" entity …]> (T14)
+        lx.name() match {
+          case None =>
+            errs += ParseErr("bad-shortref-declaration", 0, body.take(40))
+            (dtd, errs.result())
+          case Some(mn0) =>
+            val mn = fold(mn0)
+            val pairs = mutable.ListBuffer.empty[(String, String)]
+            var go = true
+            while (go) {
+              lx.literal() match {
+                case Some(d) => lx.name() match {
+                  case Some(en) => pairs += d -> en
+                  case None =>
+                    errs += ParseErr("shortref-missing-entity", 0, d)
+                    go = false
+                }
+                case None => go = false
+              }
+            }
+            // first declaration wins, like the other SGML declarations
+            if (dtd.shortrefs.contains(mn)) (dtd, errs.result())
+            else (dtd.copy(shortrefs = dtd.shortrefs + (mn -> pairs.toList)),
+              errs.result())
+        }
+
+      case "USEMAP" =>
+        // <!USEMAP mapname elem-or-(group)> / <!USEMAP #EMPTY elems> (T14)
+        lx.save()
+        val mapName: Option[String] = lx.punct() match {
+          case Some('#') => lx.name(); Some("") // #EMPTY → deactivation sentinel
+          case _ => lx.restore(); lx.name().map(fold)
+        }
+        mapName match {
+          case None =>
+            errs += ParseErr("bad-usemap-declaration", 0, body.take(40))
+            (dtd, errs.result())
+          case Some(mn) =>
+            val els = elementNames(lx, fold)
+            val um = els.foldLeft(dtd.useMaps) { (m, el) =>
+              if (m.contains(el)) m else m.updated(el, mn)
+            }
+            (dtd.copy(useMaps = um), errs.result())
+        }
+
+      case "NOTATION" =>
+        (dtd, errs.result()) // notation identifiers carry no parse behavior
 
       case other =>
         errs += ParseErr("unknown-declaration", 0, other)

@@ -73,6 +73,14 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
   private var entReturn = S_TEXT
   private var injectDepth = 0
 
+  // SHORTREF recognition (T14): runs over the buffered PCDATA run when it
+  // ends (markup / media / EOF) — chunk-safe by construction, since text
+  // accumulates in textBuf across feeds and a delimiter never spans
+  // markup. srBusy guards against recursion while a mapped entity's
+  // replacement text is re-tokenized.
+  private var srBusy = false
+  private var srLineStart = true // document start counts as a line start
+
   /** Reset the running char offset (interleaved-input base per span). */
   def setOffset(off: Int): Unit = pos = off
 
@@ -89,6 +97,7 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
     rawBuf.setLength(0); rawStart = 0; rawIsCdata = true; rawEndTag = ""
     etBuf.setLength(0); rawLtPos = 0
     entBuf.setLength(0); entStart = 0; entReturn = S_TEXT; injectDepth = 0
+    srBusy = false; srLineStart = true
   }
 
   // Bulk fast path for the two states that dominate real documents:
@@ -194,14 +203,14 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
 
   /** Interleaved media passthrough: flush pending text, emit in order. */
   def media(ref: String, off: Int): Unit = {
-    if (state == S_TEXT) flushText()
+    if (state == S_TEXT) { srProcess(); flushText() }
     sink(Event.Media(ref, off))
   }
 
   /** End of document: flush buffers, report truncation errors. */
   def finish(): Unit = {
     state match {
-      case S_TEXT => flushText()
+      case S_TEXT => srProcess(); flushText()
       case S_RAW | S_RAW_LT | S_RAW_ET | S_RAW_ET_SP =>
         log.add("eof-in-cdata-element", pos, rawEndTag)
         if (rawBuf.length > 0)
@@ -245,10 +254,10 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
 
   private def step(c: Char): Unit = (state: @annotation.switch) match {
     case S_TEXT =>
-      if (c == '<') { state = S_LT; tagStart = pos }
+      if (c == '<') { srProcess(); state = S_LT; tagStart = pos }
       else if (c == '&') startEntity(S_TEXT)
       else if (c == '/' && netDepth > 0) { // NET end tag ≡ </> (empty close)
-        flushText(); sink(Event.Close("", pos)); netDepth -= 1
+        srProcess(); flushText(); sink(Event.Close("", pos)); netDepth -= 1
       }
       else if (c == ']' && msDepth > 0) state = S_TEXT_B1
       else appendText(c)
@@ -659,7 +668,7 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
           case None =>
             log.add("undeclared-entity", entStart, name)
             if (terminated && entReturn == S_TEXT) {
-              flushText()
+              srProcess(); flushText()
               sink(Event.EntityRef(name, entStart))
             } else entAppend("&" + name + (if (terminated) ";" else ""))
         }
@@ -684,6 +693,61 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
 
   private def isHexOrDigit(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  // ------------------------------------------------------- SHORTREF (T14)
+
+  /** Scan the buffered PCDATA run for active SHORTREF delimiters; literal
+    * segments go back into textBuf in order, matches expand their mapped
+    * entity (DTD replacement text is re-tokenized via inject, so a map
+    * entry can contribute markup — the classic blank-line→`</p><p>` use).
+    * Leaves the tail in textBuf for the caller's flushText. No-op unless
+    * a map is active, so the HTML/XML hot path pays one null check. */
+  private def srProcess(): Unit = {
+    val rules = holder.activeShortrefs
+    if (rules == null || srBusy || textBuf.length() == 0) return
+    val s = textBuf.toString
+    val start = textStart
+    textBuf.setLength(0)
+    srBusy = true
+    var i = 0
+    var lit = 0
+    while (i < s.length) {
+      val ls = if (i == 0) srLineStart else s.charAt(i - 1) == '\n'
+      var best = 0
+      var ent: String = null
+      var r = 0
+      while (r < rules.length) {
+        val m = Shortref.matchLen(rules(r), s, i, ls)
+        if (m > best) { best = m; ent = rules(r).ent }
+        r += 1
+      }
+      if (best > 0) {
+        if (i > lit) appendTextStr(s.substring(lit, i), start + lit)
+        srExpand(ent, start + i)
+        i += best
+        lit = i
+      } else i += 1
+    }
+    if (lit < s.length) appendTextStr(s.substring(lit), start + lit)
+    srLineStart = s.charAt(s.length - 1) == '\n'
+    srBusy = false
+  }
+
+  /** Expand the entity a SHORTREF delimiter mapped to — same resolution
+    * order as a `&name;` reference in PCDATA (`parser.c — process_entity`
+    * [V]). */
+  private def srExpand(name: String, off: Int): Unit = {
+    holder.dtd.entities.get(name) match {
+      case Some(repl) => inject(repl) // replacement text re-tokenized
+      case None => Entities.resolve(name, cfg.dialect, holder.dtd) match {
+        case Some(t) => appendTextStr(t, off)
+        case None =>
+          log.add("undeclared-entity", off, name)
+          flushText()
+          sink(Event.EntityRef(name, off))
+      }
+    }
+  }
 }
 
 object Tokenizer {

@@ -29,14 +29,19 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
       val exclusions: Set[String],
       val inclusions: Set[String],
       val nsScope: Map[String, String],   // prefix → uri ("" = default)
-      val spacePreserve: Boolean) {
+      val spacePreserve: Boolean,
+      /** SHORTREF map active in this element's content (T14); inherited by
+        * containment, overridden by USEMAP; null = none. var: an
+        * in-instance `<!USEMAP …>` rebinds the current frame. */
+      var srMap: Array[Shortref.Rule]) {
     val children = new mutable.ArrayBuffer[Node](4)
     var sawText = false
   }
 
   // virtual root frame: accepts anything
   private val root = new Frame("", Nil, 0, None, None, Set.empty, Set.empty,
-    Map.empty, cfg.space == SpaceMode.Preserve || cfg.space == SpaceMode.Strict)
+    Map.empty, cfg.space == SpaceMode.Preserve || cfg.space == SpaceMode.Strict,
+    null)
   private val stack = new mutable.ArrayBuffer[Frame](16)
   stack += root
 
@@ -72,6 +77,8 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     stack.clear()
     root.children.clear()
     root.sawText = false
+    root.srMap = null
+    holder.activeShortrefs = null
     stack += root
   }
 
@@ -108,11 +115,26 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
       addChildNode(node)
     } else {
       val preserve = xmlSpaceOf(rawAttrs).getOrElse(top.spacePreserve)
+      val srm = srMapFor(if (cfg.dialect.namespaces) localOf(rawName) else rawName)
       stack += new Frame(name, attrs, off, edef,
         edef.flatMap(_.dfa).map(new DfaRun(_)),
         mergedSet(top.exclusions, edef.map(_.exclusions).getOrElse(Set.empty)),
         mergedSet(top.inclusions, edef.map(_.inclusions).getOrElse(Set.empty)),
-        scope, preserve)
+        scope, preserve, srm)
+      holder.activeShortrefs = srm
+    }
+  }
+
+  /** SHORTREF map for the content of an element being opened: a USEMAP
+    * association overrides, otherwise inherit (T14). The empty-useMaps
+    * check keeps the non-SGML hot path to one field read. */
+  private def srMapFor(lookupName: String): Array[Shortref.Rule] = {
+    val d = holder.dtd
+    if (d.useMaps.isEmpty) top.srMap
+    else d.useMaps.get(lookupName) match {
+      case Some("") => null // #EMPTY
+      case Some(m) => d.compiledShortrefs.getOrElse(m, top.srMap)
+      case None => top.srMap
     }
   }
 
@@ -147,6 +169,7 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
 
   private def popFrame(): Unit = {
     val f = stack.remove(stack.size - 1)
+    holder.activeShortrefs = top.srMap
     if (cfg.validate) f.dfa.foreach { run =>
       if (!run.isComplete)
         log.add("incomplete-content", f.off, f.name)
@@ -283,11 +306,13 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     val edef = holder.dtd.element(local)
     val name = qualify(local, top.nsScope, isAttr = false)
     val attrs = typedAttrs(local, Nil, edef, top.nsScope, off)
+    val srm = srMapFor(local)
     stack += new Frame(name, attrs, off, edef,
       edef.flatMap(_.dfa).map(new DfaRun(_)),
       mergedSet(top.exclusions, edef.map(_.exclusions).getOrElse(Set.empty)),
       mergedSet(top.inclusions, edef.map(_.inclusions).getOrElse(Set.empty)),
-      top.nsScope, top.spacePreserve)
+      top.nsScope, top.spacePreserve, srm)
+    holder.activeShortrefs = srm
   }
 
   /** Avoid Set concat allocation in the common no-exceptions case (HTML4:
@@ -312,7 +337,11 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     val wsOnly = isWhitespaceOnly(s)
 
     if (!raw) {
-      // ignorable whitespace: element-declared content never holds text
+      // ignorable whitespace: element-declared content never holds text;
+      // document level (outside the root element) holds none either —
+      // `<!DOCTYPE …>\n<root>` drops the separator newline (upstream
+      // treats prolog/epilog whitespace as markup separation [V])
+      if (wsOnly && stack.size == 1) return
       if (wsOnly && top.edef.exists(ed => !ed.mixed)) return
       if (wsOnly && !acceptsText(top, wsOnly = true) && top.edef.isDefined) return
 
@@ -506,9 +535,31 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
         holder.dtd = holder.dtd.copy(doctype = Some(
           if (cfg.dialect.foldCase) rootName.toLowerCase else rootName))
       }
+    } else if (up.regionMatches(true, 0, "USEMAP", 0, 6)) {
+      // in-instance map (re)binding (T14): `<!USEMAP m>` switches the
+      // current map; with element names it adds associations like a DTD
+      // declaration; `<!USEMAP #EMPTY>` deactivates.
+      val toks = up.substring(6).trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= 2) { // association form → regular declaration
+        val (d2, errs) = DtdParser.parseDeclaration(up, holder.dtd, cfg.dialect.foldCase)
+        holder.dtd = d2
+        errs.foreach(e => log.add(e.code, off, e.detail))
+      } else if (toks.length == 1) {
+        val srm =
+          if (toks(0).startsWith("#")) null // #EMPTY
+          else {
+            val mn = if (cfg.dialect.foldCase) toks(0).toLowerCase else toks(0)
+            holder.dtd.compiledShortrefs.getOrElse(mn, {
+              log.add("undeclared-shortref-map", off, toks(0)); top.srMap
+            })
+          }
+        top.srMap = srm
+        holder.activeShortrefs = srm
+      }
     } else if (up.regionMatches(true, 0, "ELEMENT", 0, 7) ||
                up.regionMatches(true, 0, "ATTLIST", 0, 7) ||
                up.regionMatches(true, 0, "ENTITY", 0, 6) ||
+               up.regionMatches(true, 0, "SHORTREF", 0, 8) ||
                up.regionMatches(true, 0, "NOTATION", 0, 8)) {
       // declarations outside a DOCTYPE (declaration-mode leniency)
       val (d2, errs) = DtdParser.parseDeclaration(up, holder.dtd, cfg.dialect.foldCase)

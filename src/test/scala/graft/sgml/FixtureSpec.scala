@@ -372,6 +372,79 @@ class FixtureSpec extends AnyFunSuite {
     assert(r.spans(cfg(Dialect.Html4)).map(_.text) == Vector("one", "two"))
   }
 
+  test("F22 SHORTREF: delimiter → entity text substitution via USEMAP") {
+    val doc =
+      """<!DOCTYPE d [
+        |<!ELEMENT d - - (#PCDATA)>
+        |<!ENTITY endash "-">
+        |<!SHORTREF m "--" endash>
+        |<!USEMAP m d>
+        |]>
+        |<d>one--two</d>""".stripMargin
+    val c = cfg(Dialect.Sgml, SpaceMode.SgmlMode)
+    val r = SgmlParser.parse(doc, c)
+    assert(r.spans(c).map(_.text) == Vector("one-two"))
+    assert(r.errors.isEmpty, r.errors)
+  }
+
+  test("F22b SHORTREF: blank line → markup entity (classic paragraph map)") {
+    val doc =
+      """<!DOCTYPE doc [
+        |<!ELEMENT doc - - (p)+>
+        |<!ELEMENT p O O (#PCDATA)>
+        |<!ENTITY ptag "</p><p>">
+        |<!SHORTREF pmap "&#RE;&#RE;" ptag>
+        |<!USEMAP pmap doc>
+        |]>
+        |<doc><p>one
+        |
+        |two</doc>""".stripMargin
+    val c = cfg(Dialect.Sgml, SpaceMode.SgmlMode)
+    val r = SgmlParser.parse(doc, c)
+    val root = r.content.collectFirst { case e: Node.Elem => e }.get
+    assert(root.name == "doc")
+    val ps = root.children.collect { case e: Node.Elem => e }
+    assert(ps.map(_.name) == Vector("p", "p"), Serializer.xml(r.content))
+    assert(r.spans(c).map(_.text) == Vector("one", "two"))
+  }
+
+  test("F22c SHORTREF: blank-sequence B token, map scoping and #EMPTY") {
+    val doc =
+      """<!DOCTYPE d [
+        |<!ELEMENT d - - (a, b)>
+        |<!ELEMENT (a|b) - - (#PCDATA)>
+        |<!ENTITY bull "*">
+        |<!SHORTREF m "B+" bull>
+        |<!USEMAP m a>
+        |<!USEMAP #EMPTY b>
+        |]>
+        |<d><a>x  +y</a><b>x  +y</b></d>""".stripMargin
+    val c = cfg(Dialect.Sgml, SpaceMode.Preserve)
+    val r = SgmlParser.parse(doc, c)
+    // map active inside <a> (blanks-then-plus → "*"), not inside <b>
+    assert(r.spans(c).map(_.text) == Vector("x*y", "x  +y"))
+  }
+
+  test("F22d SHORTREF: in-instance <!USEMAP> rebinds; chunked ≡ whole") {
+    val doc =
+      """<!DOCTYPE d [
+        |<!ELEMENT d - - (#PCDATA)>
+        |<!ENTITY q '"'>
+        |<!SHORTREF m "''" q>
+        |]>
+        |<d>a''b<!USEMAP m>c''d<!USEMAP #EMPTY>e''f</d>""".stripMargin
+    val c = cfg(Dialect.Sgml, SpaceMode.Preserve)
+    val whole = SgmlParser.spans(doc, c)._1
+    assert(whole.map(_.text).mkString == "a''bc\"de''f")
+    // delimiter spanning a feed-chunk boundary must still match
+    for (k <- 1 until doc.length) {
+      val p = new SgmlParser(c)
+      p.feed(doc.substring(0, k), 0)
+      p.feed(doc.substring(k))
+      assert(p.finish().spans(c) == whole, s"split at $k")
+    }
+  }
+
   test("F20 xhtml dialect: namespace-qualified names + HTML entity table") {
     val doc = "<html xmlns=\"http://www.w3.org/1999/xhtml\"><body>" +
       "<p>a&nbsp;b</p></body></html>"
