@@ -284,6 +284,15 @@ object SgmlExtract {
       XPathSpec.query(text, if (spec == null) "" else spec, cfg)
     }
     spark.udf.register("sgml_xpath", xpath)
+    // PWP template rendering with scalar bindings (SURVEY.md §2.5; the
+    // row-set pwp:ask form needs nested columns — graft.ops.PwpOps.render)
+    val pwp = (template: String, scalars: Map[String, String]) =>
+      Pwp.renderXml(
+        if (template == null) "" else template,
+        if (scalars == null) Map.empty[String, Pwp.Val]
+        else scalars.map { case (k, v) =>
+          k -> (Pwp.Scalar(if (v == null) "" else v): Pwp.Val) })
+    spark.udf.register("pwp_render", pwp)
   }
 
   /** Size-aware repartition for skewed giant docs (north rule; SURVEY.md

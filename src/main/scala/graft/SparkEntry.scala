@@ -188,6 +188,22 @@ object SparkEntry {
     "xq3_xpath_positional" -> ((s, dir) => XPathOps.positional(s, dir)),
     "xq4_xpath_window" -> ((s, dir) => XPathOps.positionalWindow(s, dir)),
     "xq5_xpath_spec_interp" -> ((s, dir) => XPathOps.specInterpreter(s, dir)),
+    "xq6_pwp_template" -> ((s, dir) => {
+      // §2.5 pwp surface: one exchange builds the per-region nested row
+      // set (sort_array for a deterministic solution order), then the
+      // template renders in a narrow stage — pwp:ask replicates <nation>
+      // per row, pwp:tag renames, pwp:use projects, $name substitutes
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val region = s.read.parquet(s"$dir/region.parquet")
+      val nested = region
+        .join(nation, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_regionkey"), col("r_name"))
+        .agg(sort_array(collect_list(struct(
+          col("n_nationkey").cast("long").as("key"),
+          col("n_name").as("name")))).as("nations"))
+      PwpOps.render(nested, PwpRegionTemplate, "r_regionkey")
+        .select(col("r_regionkey").cast("long").as("region_key"), col("pwp_out"))
+    }),
 
     // ---- deduplication ----------------------------------------------------
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
@@ -289,6 +305,11 @@ object SparkEntry {
       |    list_reduce(list_prepend(0::BIGINT, list(v ORDER BY i)),
       |      (acc, x) -> (acc * ${ops.Dedup.BandB} + x % ${ops.Dedup.HashP}) % ${ops.Dedup.HashP}) AS band_hash
       |  FROM sig GROUP BY doc_id, i // ${ops.Dedup.RowsPerBand})""".stripMargin
+
+  // xq6 template, shared shape with its oracle's string_agg reconstruction
+  private val PwpRegionTemplate =
+    """<region name="$r_name"><nation pwp:ask="nations" k="$key" pwp:tag="n">""" +
+      """<nm pwp:use="$name"></nm></nation></region>"""
 
   // threshold 0.4: the synthetic embeddings are near-orthogonal random
   // vectors (max pairwise cosine ≈ 0.51 at sf0.01), so a production-like
@@ -538,6 +559,14 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt FROM nation) t
         |WHERE rn = 2 OR rn = cnt
         |GROUP BY n_regionkey""".stripMargin,
+    "xq6_pwp_template" ->
+      """SELECT CAST(r.r_regionkey AS BIGINT) AS region_key,
+        | '<region name="' || r.r_name || '">' ||
+        | string_agg('<n k="' || n.n_nationkey || '"><nm>' || n.n_name || '</nm></n>',
+        |            '' ORDER BY n.n_nationkey) ||
+        | '</region>' AS pwp_out
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_regionkey, r.r_name""".stripMargin,
     "xq5_xpath_spec_interp" ->
       """SELECT n_regionkey AS region_key,
         | MAX(CASE WHEN rn = 2 THEN n_name END) AS second_nation,
