@@ -91,6 +91,15 @@ object SparkEntry {
           size(col("errors")).cast("long").as("n_errors"))
     }),
 
+    "x8_pdf_roundtrip" -> ((s, dir) => {
+      // north-rule PDF leg: deterministic writer builds one PDF per doc,
+      // the parser extracts the text back — identity against the corpus
+      PdfOps.extractText(PdfOps.syntheticPdfs(s, dir))
+        .select(col("doc_id"), col("text"),
+          col("n_pages").cast("long").as("n_pages"),
+          col("n_errors").cast("long").as("n_errors"))
+    }),
+
     "x5_serialize_roundtrip" -> ((s, dir) => {
       // W1/W5: parse + canonical re-serialization; the DuckDB oracle
       // reconstructs the exact expected markup (incl. the implied <head>
@@ -526,6 +535,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "x3_parse_errors" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS n_errors FROM documents",
+    "x8_pdf_roundtrip" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+        | CAST(1 AS BIGINT) AS n_pages, CAST(0 AS BIGINT) AS n_errors
+        |FROM documents""".stripMargin,
     "x7_shortref" ->
       s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
         | replace(text, '${SgmlExtract.ShortrefDelim}', '${SgmlExtract.ShortrefMarker}') AS text,

@@ -1,0 +1,517 @@
+package graft.pdf
+
+import scala.collection.mutable
+
+/** Minimal PDF object model + parser — the "PDF/layout parse" leg of the
+  * extraction pipeline (BASELINE.json north rule; the SGML/HTML leg is
+  * graft.sgml). Self-contained on the JDK: Flate streams inflate via
+  * `java.util.zip.Inflater`, no external codecs.
+  *
+  * Scope (documented contract, tuned for content extraction at scale):
+  *  - full PDF object syntax: numbers, names, literal `(…)` strings with
+  *    escapes, hex `<…>` strings, arrays, dictionaries, indirect refs,
+  *    booleans, null, streams (`/FlateDecode` or raw);
+  *  - document structure by robust linear object scan (`N G obj …
+  *    endobj`) — xref tables are not required to be intact, which is the
+  *    right trade-off for crawled/truncated PDFs (a malformed doc yields
+  *    partial text + errors, never a throw);
+  *  - page tree traversal from /Root → /Pages → /Kids for page order,
+  *    falling back to object order when the tree is broken;
+  *  - text extraction from content streams: BT/ET, Tj/TJ/'/" shows,
+  *    line tracking via Td, TD, T-star and Tm (a new line emits '\n');
+  *    strings decode
+  *    as UTF-16BE when BOM-prefixed, Latin-1 otherwise. Font /ToUnicode
+  *    CMaps are NOT interpreted (documented limitation — text written
+  *    with simple encodings, incl. everything `PdfWriter` emits,
+  *    round-trips exactly).
+  */
+object Pdf {
+
+  sealed trait PObj
+  case object PNull extends PObj
+  final case class PBool(b: Boolean) extends PObj
+  final case class PNum(d: Double) extends PObj { def toInt: Int = d.toInt }
+  final case class PName(s: String) extends PObj
+  final case class PStr(bytes: Array[Byte]) extends PObj
+  final case class PArr(items: Vector[PObj]) extends PObj
+  final case class PDict(m: Map[String, PObj]) extends PObj {
+    def get(k: String): Option[PObj] = m.get(k)
+  }
+  final case class PRef(num: Int, gen: Int) extends PObj
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends PObj
+
+  final case class PdfError(code: String, offset: Int, detail: String)
+
+  /** A parsed document: indirect objects + trailer dict (if found). */
+  final class Document(
+      val objects: Map[Int, PObj],
+      val trailer: Option[PDict],
+      val errors: Vector[PdfError]) {
+
+    def resolve(o: PObj): PObj = o match {
+      case PRef(n, _) => objects.getOrElse(n, PNull)
+      case other      => other
+    }
+
+    private def dictOf(o: PObj): Option[PDict] = resolve(o) match {
+      case d: PDict   => Some(d)
+      case s: PStream => Some(s.dict)
+      case _          => None
+    }
+
+    /** Page objects in document order (Kids traversal; fallback: object-
+      * number order over /Type /Page dicts). */
+    def pages: Vector[PDict] = {
+      val viaTree = for {
+        tr <- trailer
+        root <- tr.get("Root").flatMap(dictOf)
+        pagesRoot <- root.get("Pages").flatMap(dictOf)
+      } yield {
+        val out = Vector.newBuilder[PDict]
+        def walk(node: PDict, depth: Int): Unit = {
+          if (depth > 64) return // cycle guard
+          node.get("Type").map(resolve) match {
+            case Some(PName("Page")) => out += node
+            case _ =>
+              node.get("Kids").map(resolve) match {
+                case Some(PArr(kids)) =>
+                  kids.foreach(k => dictOf(k).foreach(walk(_, depth + 1)))
+                case _ =>
+                  if (node.get("Contents").isDefined) out += node
+              }
+          }
+        }
+        walk(pagesRoot, 0)
+        out.result()
+      }
+      viaTree.filter(_.nonEmpty).getOrElse {
+        objects.toVector.sortBy(_._1).collect {
+          case (_, d: PDict) if d.get("Type").contains(PName("Page")) => d
+        }
+      }
+    }
+
+    /** Decoded content-stream bytes of one page (multiple streams concat). */
+    def pageContent(page: PDict): Array[Byte] = {
+      val streams: Seq[PStream] = page.get("Contents").map(resolve) match {
+        case Some(s: PStream) => Seq(s)
+        case Some(PArr(items)) =>
+          items.flatMap(i => resolve(i) match {
+            case s: PStream => Some(s); case _ => None
+          })
+        case _ => Nil
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      streams.foreach(s => out.write(decodeStream(s)))
+      out.toByteArray
+    }
+
+    /** Inflate /FlateDecode; pass through unfiltered data. Unknown
+      * filters yield empty (recorded extraction gap, not a throw). */
+    def decodeStream(s: PStream): Array[Byte] =
+      s.dict.get("Filter").map(resolve) match {
+        case None => s.raw
+        case Some(PName("FlateDecode")) => inflate(s.raw)
+        case Some(PArr(Vector(PName("FlateDecode")))) => inflate(s.raw)
+        case Some(_) => Array.emptyByteArray
+      }
+  }
+
+  def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && inf.needsDictionary()) return out.toByteArray
+      }
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => Array.emptyByteArray
+    } finally inf.end()
+  }
+
+  // ----------------------------------------------------------- doc parse
+
+  /** Parse a whole PDF byte array by linear object scan. Never throws. */
+  def parse(bytes: Array[Byte]): Document = {
+    val errs = Vector.newBuilder[PdfError]
+    val objs = mutable.Map.empty[Int, PObj]
+    var trailer: Option[PDict] = None
+    val lx = new Lexer(bytes)
+    var guard = 1 << 20
+    while (!lx.atEnd && guard > 0) {
+      guard -= 1
+      val start = lx.pos
+      lx.token() match {
+        case TInt(n) =>
+          lx.save()
+          (lx.token(), lx.token()) match {
+            case (TInt(_), TKw("obj")) =>
+              parseValue(lx, errs, 0) match {
+                case d: PDict if lx.tryKeyword("stream") =>
+                  val raw = lx.readStreamData(streamLength(d, objs))
+                  objs(n) = PStream(d, raw)
+                  lx.tryKeyword("endstream")
+                  lx.tryKeyword("endobj")
+                case v =>
+                  objs(n) = v
+                  lx.tryKeyword("endobj")
+              }
+            case _ => lx.restore() // stray number (xref rows etc.)
+          }
+        case TKw("trailer") =>
+          parseValue(lx, errs, 0) match {
+            case d: PDict => trailer = Some(d)
+            case _ =>
+          }
+        case TKw("startxref") => lx.token() // the offset int; ignored
+        case TEof => guard = 0
+        case TErr(msg) =>
+          errs += PdfError("pdf-lex", start, msg)
+        case _ => // comments/xref noise between objects: skip
+      }
+    }
+    // fallback trailer: a catalog object makes an implicit root
+    if (trailer.isEmpty) {
+      objs.toSeq.sortBy(_._1).collectFirst {
+        case (n, d: PDict) if d.get("Type").contains(PName("Catalog")) =>
+          PDict(Map("Root" -> PRef(n, 0)))
+      }.foreach(d => trailer = Some(d))
+    }
+    new Document(objs.toMap, trailer, errs.result())
+  }
+
+  private def streamLength(d: PDict, objs: mutable.Map[Int, PObj]): Int =
+    d.get("Length") match {
+      case Some(PNum(n)) => n.toInt
+      case Some(PRef(n, _)) => objs.get(n) match {
+        case Some(PNum(v)) => v.toInt
+        case _ => -1
+      }
+      case _ => -1
+    }
+
+  /** Parse one value (operand grammar shared by objects and content). */
+  private[pdf] def parseValue(lx: Lexer,
+      errs: mutable.Builder[PdfError, Vector[PdfError]], depth: Int): PObj = {
+    if (depth > 64) return PNull
+    lx.token() match {
+      case TInt(a) =>
+        // `a g R` indirect reference lookahead
+        lx.save()
+        (lx.token(), lx.token()) match {
+          case (TInt(g), TKw("R")) => PRef(a, g)
+          case _ => lx.restore(); PNum(a.toDouble)
+        }
+      case TReal(d)   => PNum(d)
+      case TName(s)   => PName(s)
+      case TStr(b)    => PStr(b)
+      case TKw("true")  => PBool(true)
+      case TKw("false") => PBool(false)
+      case TKw("null")  => PNull
+      case TDictOpen =>
+        val m = Map.newBuilder[String, PObj]
+        var go = true
+        while (go) {
+          lx.save()
+          lx.token() match {
+            case TDictClose => go = false
+            case TName(k)   => m += k -> parseValue(lx, errs, depth + 1)
+            case TEof       => go = false
+            case _ => // tolerate junk keys
+          }
+        }
+        PDict(m.result())
+      case TArrOpen =>
+        val items = Vector.newBuilder[PObj]
+        var go = true
+        while (go) {
+          lx.save()
+          lx.token() match {
+            case TArrClose => go = false
+            case TEof      => go = false
+            case _ => lx.restore(); items += parseValue(lx, errs, depth + 1)
+          }
+        }
+        PArr(items.result())
+      case TEof => PNull
+      case other =>
+        errs += PdfError("pdf-unexpected-token", lx.pos, other.toString)
+        PNull
+    }
+  }
+
+  // -------------------------------------------------------- text extract
+
+  /** PDF text string → String: UTF-16BE with BOM, else Latin-1 (covers
+    * PDFDocEncoding's printable range and everything PdfWriter emits). */
+  def decodeText(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+      new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Extract the text of one content stream: shows concatenate; the line
+    * operators (Td, TD, T-star, Tm, quote and double-quote) insert a
+    * newline. */
+  def contentText(content: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    val lx = new Lexer(content)
+    val operands = mutable.ArrayBuffer.empty[PObj]
+    val noErrs = Vector.newBuilder[PdfError]
+    var firstLine = true
+    def newline(): Unit = {
+      if (!firstLine) sb.append('\n')
+      firstLine = false
+    }
+    def show(o: PObj): Unit = o match {
+      case PStr(b) => sb.append(decodeText(b))
+      case _ =>
+    }
+    var guard = 1 << 22
+    var go = true
+    while (go && guard > 0) {
+      guard -= 1
+      lx.save()
+      lx.token() match {
+        case TEof => go = false
+        case TKw(op) => op match {
+          case "Tj" => operands.lastOption.foreach(show); operands.clear()
+          case "TJ" => operands.lastOption.foreach {
+            case PArr(items) => items.foreach(show)
+            case _ =>
+          }; operands.clear()
+          case "'" => newline(); operands.lastOption.foreach(show); operands.clear()
+          case "\"" => newline(); operands.lastOption.foreach(show); operands.clear()
+          case "Td" | "TD" | "T*" => newline(); operands.clear()
+          case "Tm" => newline(); operands.clear()
+          case "BT" => firstLine = true; operands.clear()
+          case _ => operands.clear() // ET, Tf, colors, paths, …
+        }
+        case _ =>
+          lx.restore()
+          operands += parseValue(lx, noErrs, 0)
+      }
+    }
+  }
+
+  /** Full-document text + page count. */
+  final case class TextResult(text: String, nPages: Int, errors: Vector[PdfError])
+
+  def extractText(bytes: Array[Byte]): TextResult = {
+    try {
+      val doc = parse(bytes)
+      val ps = doc.pages
+      val sb = new java.lang.StringBuilder(1024)
+      var i = 0
+      while (i < ps.length) {
+        if (i > 0) sb.append('\n')
+        contentText(doc.pageContent(ps(i)), sb)
+        i += 1
+      }
+      TextResult(sb.toString, ps.length, doc.errors)
+    } catch {
+      case e: Throwable => // absolute backstop: a poisoned doc is data, not a crash
+        TextResult("", 0, Vector(PdfError("pdf-internal", 0,
+          String.valueOf(e.getMessage).take(120))))
+    }
+  }
+
+  // ---------------------------------------------------------------- lexer
+
+  sealed trait Tok
+  case object TEof extends Tok
+  final case class TInt(n: Int) extends Tok
+  final case class TReal(d: Double) extends Tok
+  final case class TName(s: String) extends Tok
+  final case class TStr(bytes: Array[Byte]) extends Tok
+  final case class TKw(s: String) extends Tok
+  case object TDictOpen extends Tok
+  case object TDictClose extends Tok
+  case object TArrOpen extends Tok
+  case object TArrClose extends Tok
+  final case class TErr(msg: String) extends Tok
+
+  /** Byte-level PDF tokenizer with save/restore backtracking. */
+  final class Lexer(val b: Array[Byte]) {
+    var pos = 0
+    private var mark = 0
+    def save(): Unit = mark = pos
+    def restore(): Unit = pos = mark
+    def atEnd: Boolean = { ws(); pos >= b.length }
+
+    private def isWs(c: Int): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12
+    private def isDelim(c: Int): Boolean =
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+        c == '{' || c == '}' || c == '/' || c == '%'
+
+    private def ws(): Unit = {
+      var go = true
+      while (go) {
+        while (pos < b.length && isWs(b(pos) & 0xFF)) pos += 1
+        if (pos < b.length && b(pos) == '%') { // comment to EOL
+          while (pos < b.length && b(pos) != '\n' && b(pos) != '\r') pos += 1
+        } else go = false
+      }
+    }
+
+    def token(): Tok = {
+      ws()
+      if (pos >= b.length) return TEof
+      val c = b(pos) & 0xFF
+      c match {
+        case '<' =>
+          if (pos + 1 < b.length && b(pos + 1) == '<') { pos += 2; TDictOpen }
+          else hexString()
+        case '>' =>
+          if (pos + 1 < b.length && b(pos + 1) == '>') { pos += 2; TDictClose }
+          else { pos += 1; TErr("stray >") }
+        case '[' => pos += 1; TArrOpen
+        case ']' => pos += 1; TArrClose
+        case '(' => literalString()
+        case '/' => name()
+        case d if (d >= '0' && d <= '9') || d == '+' || d == '-' || d == '.' =>
+          number()
+        case _ => keyword()
+      }
+    }
+
+    def tryKeyword(kw: String): Boolean = {
+      save()
+      token() match {
+        case TKw(`kw`) => true
+        case _ => restore(); false
+      }
+    }
+
+    /** Raw stream payload: after the `stream` keyword + EOL, either
+      * exactly `len` bytes, or (len < 0) scan for `endstream`. */
+    def readStreamData(len: Int): Array[Byte] = {
+      if (pos < b.length && b(pos) == '\r') pos += 1
+      if (pos < b.length && b(pos) == '\n') pos += 1
+      val start = pos
+      val end =
+        if (len >= 0 && start + len <= b.length) start + len
+        else {
+          var i = start
+          var found = -1
+          val pat = "endstream".getBytes
+          while (found < 0 && i + pat.length <= b.length) {
+            var k = 0
+            while (k < pat.length && b(i + k) == pat(k)) k += 1
+            if (k == pat.length) found = i else i += 1
+          }
+          if (found < 0) b.length
+          else { // trim the EOL that precedes endstream
+            var e = found
+            if (e > start && b(e - 1) == '\n') e -= 1
+            if (e > start && b(e - 1) == '\r') e -= 1
+            e
+          }
+        }
+      pos = end
+      java.util.Arrays.copyOfRange(b, start, end)
+    }
+
+    private def number(): Tok = {
+      val st = pos
+      var real = false
+      if (b(pos) == '+' || b(pos) == '-') pos += 1
+      while (pos < b.length && {
+        val c = b(pos) & 0xFF
+        if (c == '.') { real = true; true } else c >= '0' && c <= '9'
+      }) pos += 1
+      val s = new String(b, st, pos - st, java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (s.isEmpty || s == "+" || s == "-" || s == ".") TErr("bad number")
+      else if (real) TReal(s.toDouble)
+      else try TInt(s.toInt) catch { case _: NumberFormatException => TReal(s.toDouble) }
+    }
+
+    private def name(): Tok = {
+      pos += 1 // '/'
+      val sb = new java.lang.StringBuilder(16)
+      while (pos < b.length && !isWs(b(pos) & 0xFF) && !isDelim(b(pos) & 0xFF)) {
+        val c = b(pos) & 0xFF
+        if (c == '#' && pos + 2 < b.length) {
+          val h = Character.digit(b(pos + 1), 16) * 16 + Character.digit(b(pos + 2), 16)
+          if (h >= 0) { sb.append(h.toChar); pos += 3 }
+          else { sb.append('#'); pos += 1 }
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      TName(sb.toString)
+    }
+
+    private def keyword(): Tok = {
+      val st = pos
+      while (pos < b.length && !isWs(b(pos) & 0xFF) && !isDelim(b(pos) & 0xFF))
+        pos += 1
+      if (pos == st) { pos += 1; TErr("stray delimiter") }
+      else TKw(new String(b, st, pos - st, java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+
+    private def hexString(): Tok = {
+      pos += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream(32)
+      var hi = -1
+      var go = true
+      while (go && pos < b.length) {
+        val c = b(pos) & 0xFF
+        pos += 1
+        if (c == '>') go = false
+        else {
+          val d = Character.digit(c, 16)
+          if (d >= 0) {
+            if (hi < 0) hi = d
+            else { out.write(hi * 16 + d); hi = -1 }
+          }
+        }
+      }
+      if (hi >= 0) out.write(hi * 16) // odd count: pad with 0
+      TStr(out.toByteArray)
+    }
+
+    private def literalString(): Tok = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream(64)
+      var depth = 1
+      while (depth > 0 && pos < b.length) {
+        val c = b(pos) & 0xFF
+        pos += 1
+        c match {
+          case '\\' if pos < b.length =>
+            val e = b(pos) & 0xFF
+            pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write(12)
+              case '(' => out.write('(')
+              case ')' => out.write(')')
+              case '\\' => out.write('\\')
+              case '\r' => if (pos < b.length && b(pos) == '\n') pos += 1 // line continuation
+              case '\n' =>
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && pos < b.length && b(pos) >= '0' && b(pos) <= '7') {
+                  v = v * 8 + (b(pos) - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xFF)
+              case other => out.write(other)
+            }
+          case '(' => depth += 1; out.write('(')
+          case ')' =>
+            depth -= 1
+            if (depth > 0) out.write(')')
+          case other => out.write(other)
+        }
+      }
+      TStr(out.toByteArray)
+    }
+  }
+}

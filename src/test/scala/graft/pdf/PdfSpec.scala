@@ -1,0 +1,120 @@
+package graft.pdf
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PDF parse + write round-trip (north rule "PDF/layout parse"). */
+class PdfSpec extends AnyFunSuite {
+
+  private def roundtrip(text: String, compress: Boolean = true): Pdf.TextResult =
+    Pdf.extractText(PdfWriter.singlePage(text, compress))
+
+  test("round-trip: ASCII text, compressed and raw streams") {
+    for (compress <- Seq(true, false)) {
+      val r = roundtrip("Hello PDF world.\nSecond line.", compress)
+      assert(r.text == "Hello PDF world.\nSecond line.")
+      assert(r.nPages == 1)
+      assert(r.errors.isEmpty)
+    }
+  }
+
+  test("round-trip: escapes, parens, backslash, control chars, Latin-1") {
+    val s = "a(b)c\\d\te\rf café ÿ"
+    assert(roundtrip(s).text == s)
+  }
+
+  test("round-trip: wide unicode via UTF-16BE hex strings") {
+    val s = "中文 текст ☃\nsecond 页"
+    assert(roundtrip(s).text == s)
+  }
+
+  test("round-trip: empty text and trailing newlines") {
+    assert(roundtrip("").text == "")
+    assert(roundtrip("a\n").text == "a\n")
+    assert(roundtrip("\n\n").text == "\n\n")
+  }
+
+  test("multi-page document: pages in Kids order, joined with newline") {
+    val bytes = PdfWriter.document(Seq("page one", "page two", "page three"))
+    val r = Pdf.extractText(bytes)
+    assert(r.nPages == 3)
+    assert(r.text == "page one\npage two\npage three")
+  }
+
+  test("property: random unicode round-trips exactly") {
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 100) {
+      val n = rng.nextInt(200)
+      val s = new String((0 until n).map { _ =>
+        rng.nextInt(5) match {
+          case 0 => ('a' + rng.nextInt(26)).toChar
+          case 1 => "()\\\n\t 0123456789".charAt(rng.nextInt(14))
+          case 2 => (0xA0 + rng.nextInt(0x5F)).toChar  // Latin-1 high
+          case 3 => (0x4E00 + rng.nextInt(0x100)).toChar // CJK
+          case _ => ' '
+        }
+      }.toArray)
+      assert(roundtrip(s).text == s, s"failed for ${s.take(40)}…")
+    }
+  }
+
+  test("TJ arrays, quote operators and Tm line breaks extract in order") {
+    // hand-written content stream exercising operators the writer skips
+    val content = "BT /F1 9 Tf 10 700 Td [(a) -120 (b)] TJ (next) ' " +
+      "1 0 0 1 10 650 Tm (moved) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+      "trailer << /Size 5 /Root 1 0 R >>").getBytes("ISO-8859-1")
+    val r = Pdf.extractText(pdf)
+    assert(r.text == "ab\nnext\nmoved")
+  }
+
+  test("hex strings decode, odd digit counts pad with zero") {
+    val lx = new Pdf.Lexer("<48656C6C6F> <5>".getBytes("ISO-8859-1"))
+    val Pdf.TStr(a) = lx.token(): @unchecked
+    assert(new String(a, "ISO-8859-1") == "Hello")
+    val Pdf.TStr(b) = lx.token(): @unchecked
+    assert(b.toSeq == Seq(0x50.toByte))
+  }
+
+  test("broken page tree falls back to object-order /Type /Page scan") {
+    val content = "BT (still here) Tj ET"
+    val pdf = ("%PDF-1.4\n" + // no catalog, no trailer /Root
+      "3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+      .getBytes("ISO-8859-1")
+    val r = Pdf.extractText(pdf)
+    assert(r.text == "still here")
+    assert(r.nPages == 1)
+  }
+
+  test("garbage and truncated input never throw, errors are data") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 100) {
+      val junk = Array.fill(rng.nextInt(400))(rng.nextInt(256).toByte)
+      val r = Pdf.extractText(junk)
+      assert(r != null)
+    }
+    // truncation of a valid doc at every 37th byte
+    val ok = PdfWriter.singlePage("truncate me\nplease")
+    var i = 1
+    while (i < ok.length) {
+      assert(Pdf.extractText(ok.take(i)) != null)
+      i += 37
+    }
+  }
+
+  test("indirect /Length reference and stream-length fallback both work") {
+    val content = "BT (len via ref) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "5 0 obj " + content.length + " endobj\n" + // length object BEFORE use
+      s"4 0 obj << /Length 5 0 R >> stream\n$content\nendstream endobj\n" +
+      "trailer << /Size 6 /Root 1 0 R >>").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(pdf).text == "len via ref")
+  }
+}
