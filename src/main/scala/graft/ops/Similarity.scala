@@ -125,41 +125,97 @@ object Similarity {
     * corpus into nlist cells; a query scans only its own cell(s), ranked
     * by exact cosine. The scale path complement to sign-LSH (knnLsh):
     * cells adapt to the data distribution where hyperplanes are oblivious.
-    * Deterministic (fixed seed). At 100 TB the quantizer must never see
-    * the full corpus: the fit runs on a seeded sample capped at
-    * `FitSampleCap` rows collapsed to one partition (deterministic reduce
-    * order, and a quantizer needs only a sketch of the distribution —
-    * standard IVF practice); `transform` then assigns cells in a narrow
-    * map with the centroids shipped task-side. Candidate generation is an
-    * equi-join on cell id — same shuffle shape as the LSH bucket join,
-    * and the cell table can be bucketed at rest so repeated queries skip
-    * the shuffle entirely. At test SFs the corpus is below the cap, so
-    * the fit sees every row and results are stable. */
+    *
+    * Quantizer fit: a seeded sample capped at `FitSampleCap` rows,
+    * ordered by vec_id, trained DRIVER-SIDE with plain Lloyd iterations
+    * (deterministic init = first nlist sampled vectors; ties break to the
+    * lowest cell). A coarse quantizer needs only a sketch of the
+    * distribution — standard IVF practice — and the in-process fit costs
+    * zero Spark jobs (the previous MLlib KMeans spent several fixed-
+    * overhead jobs per fit). At 100 TB the sample stays ≤ FitSampleCap
+    * (≈25 MB driver-side at Dim=64); assignment ships the tiny centroid
+    * table in the closure and runs as a narrow map. Candidate generation
+    * is an equi-join on cell id — same shuffle shape as the LSH bucket
+    * join, and the cell table can live bucketed at rest so repeated
+    * query batches skip the exchange. At test SFs the corpus is under the
+    * cap, so the fit sees every row and results are exactly stable. */
   val FitSampleCap = 100000L
+  val FitIters = 5
+
+  /** Plain Lloyd's: deterministic for a fixed input order. */
+  private[graft] def lloyd(xs: Array[Array[Float]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = if (xs.isEmpty) Dim else xs(0).length
+    val centers = Array.tabulate(k)(c =>
+      if (xs.isEmpty) new Array[Double](dim)
+      else xs(c % xs.length).map(_.toDouble))
+    if (xs.isEmpty) return centers
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var j = 0
+      while (j < xs.length) {
+        val x = xs(j)
+        val c = nearestCenter(x, centers)
+        val s = sums(c)
+        var i = 0
+        while (i < dim && i < x.length) { s(i) += x(i); i += 1 }
+        counts(c) += 1
+        j += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } // empty cell: keep the previous centroid
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  private def nearestCenter(v: Array[Float], centers: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      var s = 0.0
+      var i = 0
+      while (i < ctr.length && i < v.length) {
+        val diff = v(i) - ctr(i); s += diff * diff; i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
 
   def knnIvf(spark: SparkSession, sfDir: String,
       numQueries: Int = 10, k: Int = 5, nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val raw = embeddings(spark, sfDir)
     val n = raw.count() // parquet metadata count — no data scan
-    val emb = raw
-      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
-    val fitSet =
-      (if (n <= FitSampleCap) emb
-       else emb.sample(withReplacement = false, FitSampleCap.toDouble / n, seed = 42L))
-        .select("features").coalesce(1)
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).fit(fitSet)
-    val cells = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val sample: Array[Array[Float]] =
+      (if (n <= FitSampleCap) raw
+       else raw.sample(withReplacement = false, FitSampleCap.toDouble / n, seed = 42L))
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(FitSampleCap.toInt)
+        .collect()
+        .map(_.getSeq[Float](1).toArray)
+    val centers = lloyd(sample, nlist, FitIters)
+    val cellOf = udf((v: Seq[Float]) => nearestCenter(v.toArray, centers))
+    val cells = raw
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cell", cellOf(col("embedding")))
     // multi-probe search: each query probes its nprobe nearest centroids
     // (same euclidean metric as the assignment). Centroids are tiny and
     // ship in the UDF closure — a narrow map, then the same equi-join on
     // cell id; a neighbor appears at most once per query because cells
     // are disjoint, so no distinct is needed.
-    val centers = model.clusterCenters.map(_.toArray)
     val probesOf = udf((v: Seq[Float]) => {
       val d = new Array[Double](centers.length)
       var c = 0
