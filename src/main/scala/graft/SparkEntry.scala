@@ -171,6 +171,23 @@ object SparkEntry {
         expr("try_cast(event_type AS double)").as("bad_num"))
     }),
 
+    "q8_distinct_suppliers" -> ((s, dir) => {
+      // distinct aggregation (§2.7): suppliers per brand through the
+      // lineitem fact. part and lineitem are both fact-sized at scale, so
+      // no forced broadcast — the optimizer picks the join (AQE re-plans
+      // at runtime); count(distinct) expands to the standard two-phase
+      // partial-distinct aggregate. approx_count_distinct is the
+      // sketch path when exactness can be traded at 100 TB.
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey"))
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_brand"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
     "q7_xsd_types" -> ((s, dir) => {
       // xsdp_types surface (SURVEY.md §2.6): lexical validation +
       // graceful typed conversion, all codegen'd (rlike + cast, no UDF)
@@ -590,6 +607,11 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn,
         |  COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt FROM nation) t
         |GROUP BY n_regionkey""".stripMargin,
+    "q8_distinct_suppliers" ->
+      """SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        | COUNT(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
     // patterns interpolated from XsdTypes.patterns — one source of truth,
     // and they avoid lookarounds so Java regex (Spark) ≡ RE2 (DuckDB)
     "q7_xsd_types" ->
