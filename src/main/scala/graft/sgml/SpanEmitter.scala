@@ -41,8 +41,13 @@ object SpanEmitter {
         e.children.foreach(walk)
     }
     content.foreach(walk)
-    scala.collection.immutable.ArraySeq.unsafeWrapArray(out.toArray)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out.toArray(SpanTag))
   }
+
+  /** Hoisted ClassTag — same ClassValue-probe saving as
+    * TreeBuilder.NodeTag (once per document here). */
+  private val SpanTag: scala.reflect.ClassTag[Span] =
+    scala.reflect.ClassTag(classOf[Span])
 
   private def localOf(name: String): String = {
     val j = name.indexOf('}')

@@ -25,7 +25,7 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
       val attrs: List[Attr],
       val off: Int,
       val edef: Option[ElementDef],
-      val dfa: Option[DfaRun],
+      val dfa: DfaRun, // null = no content model (hot path: no Option probe)
       val exclusions: Set[String],
       val inclusions: Set[String],
       val nsScope: Map[String, String],   // prefix → uri ("" = default)
@@ -39,7 +39,7 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
   }
 
   // virtual root frame: accepts anything
-  private val root = new Frame("", Nil, 0, None, None, Set.empty, Set.empty,
+  private val root = new Frame("", Nil, 0, None, null, Set.empty, Set.empty,
     Map.empty, cfg.space == SpaceMode.Preserve || cfg.space == SpaceMode.Strict,
     null)
   private val stack = new mutable.ArrayBuffer[Frame](16)
@@ -69,7 +69,8 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
         log.add("unclosed-element", f.off, f.name)
       popFrame()
     }
-    scala.collection.immutable.ArraySeq.unsafeWrapArray(root.children.toArray)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      root.children.toArray(TreeBuilder.NodeTag))
   }
 
   /** Full reset for cross-document reuse (paired with Tokenizer.reset). */
@@ -117,7 +118,7 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
       val preserve = xmlSpaceOf(rawAttrs).getOrElse(top.spacePreserve)
       val srm = srMapFor(if (cfg.dialect.namespaces) localOf(rawName) else rawName)
       stack += new Frame(name, attrs, off, edef,
-        edef.flatMap(_.dfa).map(new DfaRun(_)),
+        edef.flatMap(_.dfa).map(new DfaRun(_)).orNull,
         mergedSet(top.exclusions, edef.map(_.exclusions).getOrElse(Set.empty)),
         mergedSet(top.inclusions, edef.map(_.inclusions).getOrElse(Set.empty)),
         scope, preserve, srm)
@@ -170,15 +171,14 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
   private def popFrame(): Unit = {
     val f = stack.remove(stack.size - 1)
     holder.activeShortrefs = top.srMap
-    if (cfg.validate) f.dfa.foreach { run =>
-      if (!run.isComplete)
-        log.add("incomplete-content", f.off, f.name)
-    }
+    if (cfg.validate && f.dfa != null && !f.dfa.isComplete)
+      log.add("incomplete-content", f.off, f.name)
     // SGML whitespace rule: one newline directly before the end tag
     stripTrailingNewline(f)
     val parent = top
     parent.children += Node.Elem(f.name, f.attrs,
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(f.children.toArray), f.off)
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        f.children.toArray(TreeBuilder.NodeTag)), f.off)
   }
 
   // --------------------------------------------------------------- repair
@@ -192,10 +192,10 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
       case Some(ed) => ed.content match {
         case ContentKind.Any => true
         case ContentKind.Modelled(_) =>
-          f.dfa.exists(_.canStep(local)) ||
+          (f.dfa != null && f.dfa.canStep(local)) ||
             // lenient: allow re-entry for repeatable members the DFA lost
             // track of due to the All-approximation
-            (f.dfa.isEmpty && ed.containable.contains(local))
+            (f.dfa == null && ed.containable.contains(local))
         case _ => false // EMPTY/CDATA/RCDATA cannot contain elements
       }
     }
@@ -273,7 +273,7 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
 
   private def canStepTo(f: Frame, sym: String): Boolean = {
     val run = f.dfa
-    run.isDefined && run.get.canStep(sym)
+    run != null && run.canStep(sym)
   }
 
   /** Text repair — same search, driven by `mixed` instead of a name. */
@@ -308,7 +308,7 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     val attrs = typedAttrs(local, Nil, edef, top.nsScope, off)
     val srm = srMapFor(local)
     stack += new Frame(name, attrs, off, edef,
-      edef.flatMap(_.dfa).map(new DfaRun(_)),
+      edef.flatMap(_.dfa).map(new DfaRun(_)).orNull,
       mergedSet(top.exclusions, edef.map(_.exclusions).getOrElse(Set.empty)),
       mergedSet(top.inclusions, edef.map(_.inclusions).getOrElse(Set.empty)),
       top.nsScope, top.spacePreserve, srm)
@@ -323,10 +323,9 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
   private def stepParent(local: String, off: Int): Unit = {
     val f = top
     if (f.inclusions.contains(local)) return // inclusions don't advance DFA
-    f.dfa.foreach { run =>
-      if (!run.step(local) && cfg.validate)
-        log.add("not-allowed-here", off, local)
-    }
+    val run = f.dfa
+    if (run != null && !run.step(local) && cfg.validate)
+      log.add("not-allowed-here", off, local)
   }
 
   // ----------------------------------------------------------------- text
@@ -613,4 +612,12 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
 object TreeBuilder {
   /** Shared empty-children instance (EMPTY/self-closing elements). */
   val NoChildren: IndexedSeq[Node] = Vector.empty
+
+  /** Hoisted ClassTag: `children.toArray` runs once per closed element,
+    * and the implicit `ClassTag[Node]` at the call site costs a
+    * ClassValue map probe per call (jstack-measured ~5% of kernel CPU:
+    * ClassValueCompat.get + ClassValueMap.startEntry). A static tag
+    * makes it a field read. */
+  val NodeTag: scala.reflect.ClassTag[Node] =
+    scala.reflect.ClassTag(classOf[Node])
 }
