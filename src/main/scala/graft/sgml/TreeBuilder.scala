@@ -409,14 +409,22 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     }
     if (rawAttrs.isEmpty && actions.length == 0) return Nil
     val decls = edef.map(_.attrs).getOrElse(Map.empty)
-    val seen = mutable.LinkedHashMap.empty[String, Attr]
+    // tags carry a handful of attrs — an order-preserving array with a
+    // linear dup scan beats per-name hashing (LinkedHashMap's anyHash was
+    // a measured ~5% of kernel CPU with the bundled attlists active)
+    val out = new mutable.ArrayBuffer[Attr](rawAttrs.length + actions.length)
+    def indexOf(name: String): Int = {
+      var i = 0
+      while (i < out.length) { if (out(i).name == name) return i; i += 1 }
+      -1
+    }
     rawAttrs.foreach { ra =>
       val qn = if (cfg.dialect.namespaces) qualify(ra.name, scope, isAttr = true)
                else ra.name
-      if (seen.contains(qn)) log.add("duplicate-attribute", ra.off, ra.name)
+      if (indexOf(qn) >= 0) log.add("duplicate-attribute", ra.off, ra.name)
       else {
         val rawVal = ra.value.getOrElse(ra.name) // minimized: value = name
-        seen += qn -> Attr(qn, convertAttr(rawVal, decls.get(localOf(ra.name)), ra.off))
+        out += Attr(qn, convertAttr(rawVal, decls.get(localOf(ra.name)), ra.off))
       }
     }
     // attribute defaulting: #FIXED / literal defaults injected; #REQUIRED
@@ -424,15 +432,15 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     var i = 0
     while (i < actions.length) {
       val d = actions(i)
-      if (!seen.contains(d.name)) d.default match {
-        case AttrDefault.Fixed(v) => seen += d.name -> Attr(d.name, convertAttr(v, Some(d), off))
-        case AttrDefault.Value(v) => seen += d.name -> Attr(d.name, convertAttr(v, Some(d), off))
+      if (indexOf(d.name) < 0) d.default match {
+        case AttrDefault.Fixed(v) => out += Attr(d.name, convertAttr(v, Some(d), off))
+        case AttrDefault.Value(v) => out += Attr(d.name, convertAttr(v, Some(d), off))
         case AttrDefault.Required => log.add("required-attribute-missing", off, s"$rawName/${d.name}")
         case _ =>
       }
       i += 1
     }
-    seen.values.toList
+    out.toList
   }
 
   private def convertAttr(v0: String, decl: Option[AttrDecl], off: Int): AttrValue = {
