@@ -503,10 +503,17 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
 
     case S_RAW_ET =>
       if (isNameChar(c)) {
-        etBuf.append(c) // original case kept for faithful bail-out
-        if (!rawEndTag.regionMatches(true, 0, etBuf.toString, 0, etBuf.length))
-          bailRawEtag(c)
-        else if (etBuf.length == rawEndTag.length) state = S_RAW_ET_SP
+        // compare the INCOMING char against the expected end-tag position
+        // BEFORE buffering it: on mismatch, etBuf holds only the matched
+        // prefix and bailRawEtag re-steps c exactly once (appending first
+        // emitted the char twice: once inside etBuf, once via step) —
+        // and no per-char String materializes for the prefix check
+        val l = etBuf.length
+        if (l < rawEndTag.length &&
+            Character.toLowerCase(c) == Character.toLowerCase(rawEndTag.charAt(l))) {
+          etBuf.append(c) // original case kept for faithful bail-out
+          if (etBuf.length == rawEndTag.length) state = S_RAW_ET_SP
+        } else bailRawEtag(c)
       } else bailRawEtag(c)
 
     case S_RAW_ET_SP =>
@@ -563,16 +570,19 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
     }
   }
 
-  private def foldName(s: String): String = if (fold) s.toLowerCase else s
+  // Interned (case-folded) names: one String per distinct name per
+  // parser, not per tag — downstream map probes hit reference equality
+  // (`util.c — dtd_symbol lookup` [V] plays the same role upstream).
+  private val names = new NameTable(fold)
 
   private def pushBoolAttr(): Unit = {
     // minimized SGML attribute (`<option selected>`): value = name
-    val n = foldName(attrName.toString)
+    val n = names.intern(attrName)
     attrs = RawAttr(n, None, attrOff) :: attrs
   }
 
   private def pushAttr(): Unit = {
-    val n = foldName(attrName.toString)
+    val n = names.intern(attrName)
     attrs = RawAttr(n, Some(attrVal.toString), attrOff) :: attrs
     attrVal.setLength(0)
   }
@@ -584,7 +594,7 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
     else state = S_SLASH
 
   private def finishOpen(selfClosingMark: Boolean): Unit = {
-    val name = foldName(nameBuf.toString)
+    val name = names.intern(nameBuf)
     sink(Event.Open(name, attrs.reverse, selfClosingMark, tagStart))
     attrs = Nil
     state = S_TEXT
@@ -605,7 +615,7 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
 
   private def finishClose(): Unit = {
     flushText()
-    sink(Event.Close(foldName(nameBuf.toString), tagStart))
+    sink(Event.Close(names.intern(nameBuf), tagStart))
     state = S_TEXT
   }
 

@@ -98,6 +98,24 @@ class FixtureSpec extends AnyFunSuite {
     assert(errs.isEmpty)
   }
 
+  test("F7b raw content: diverging end-tag prefix is kept verbatim once") {
+    // regression: `</sx` inside <script> used to emit the diverging char
+    // twice (buffered in etBuf AND re-stepped on bail-out)
+    val (spans, _) = SgmlParser.spans("<script>a</sx b</script>", cfg(Dialect.Html4))
+    assert(kts(spans) == Vector(("cdata", "a</sx b", null)))
+    val (s2, _) = SgmlParser.spans("<script>x</scriptz</script>", cfg(Dialect.Html4))
+    assert(kts(s2) == Vector(("cdata", "x</scriptz", null)))
+    // chunk boundary inside the suspected end tag
+    val doc = "<script>a</sx b</script>"
+    val whole = SgmlParser.spans(doc, cfg(Dialect.Html4))._1
+    for (k <- 1 until doc.length) {
+      val p = new SgmlParser(cfg(Dialect.Html4))
+      p.feed(doc.substring(0, k), 0)
+      p.feed(doc.substring(k))
+      assert(p.finish().spans(cfg(Dialect.Html4)) == whole, s"split at $k")
+    }
+  }
+
   test("F8 html-media") {
     val (spans, errs) = SgmlParser.spans("""<p>see <img src="pic.png"> here</p>""",
       cfg(Dialect.Html4))
