@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextOps}
+
+/** End-to-end training-data curation over a contract-schema table — the
+  * composition proof that the engine's pieces are one pipeline, not a
+  * bag of demos: extract → quality-filter → exact dedup → fuzzy dedup →
+  * language annotation, in FOUR shuffles total at any scale.
+  *
+  * Stage shapes (each documented at its operator):
+  *  1. extract: skew-isolated narrow parse (SgmlExtract.extractDf over
+  *     sizeAwareRepartition) — shuffle 0 (the repartition).
+  *  2. text + quality: narrow column ops (TextOps.withQuality), filter.
+  *  3. exact dedup: row_number over a window keyed by md5(text), keep
+  *     the lowest doc_id — shuffle 1, no join.
+  *  4. fuzzy dedup: MinHash band bucket-collect → Jaccard-verified pairs
+  *     (Dedup.verifiedPairsOf) — shuffle 2 (band groupBy); survivors via
+  *     left-anti join on the losers (every doc that is the GREATER member
+  *     of a verified pair — deterministic, order-free) — shuffle 3.
+  *     Losers are bounded by the duplicate rate, so the anti-join's
+  *     small side broadcasts in practice (Spark decides; no hint forced).
+  *  5. language annotation: narrow (TextOps.withLangId).
+  *
+  * Deterministic end to end, and SQL-expressible stage by stage — the
+  * p1_curate query is value-verified against a DuckDB oracle that
+  * replays the identical pipeline from scratch.
+  */
+object Pipeline {
+
+  final case class Config(
+      extract: SgmlExtract.Config = SgmlExtract.Config(dialect = "html4", space = "preserve"),
+      minJaccard: Double = 0.5,
+      partitions: Int = 0) // 0 = leave the input partitioning alone
+
+  /** Contract table (doc_id, spans) → curated (doc_id, text, predicted_lang,
+    * n_words). */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val repart =
+      if (cfg.partitions > 0)
+        SgmlExtract.sizeAwareRepartition(docs, cfg.partitions)
+      else docs
+    // 1-2: parse + concat text + quality metrics, drop failed/junk docs
+    val texts = SgmlExtract.extractDf(repart, cfg.extract)
+      .select(col("doc_id"),
+        expr("aggregate(spans, '', (acc, sp) -> acc || sp.text)").as("text"),
+        size(col("errors")).as("n_errors"))
+    val quality = TextOps.withQuality(texts)
+      .filter(col("is_quality") && col("n_errors") === 0)
+      .select(col("doc_id"), col("text"), col("n_words"))
+    // 3: exact dedup — keep the lowest doc_id per content hash
+    val wHash = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exact = quality
+      .withColumn("__rn", row_number().over(wHash))
+      .filter(col("__rn") === 1).drop("__rn")
+    // 4: fuzzy dedup — drop the greater member of every verified pair
+    val losers = Dedup.verifiedPairsOf(exact, "doc_id", "text", cfg.minJaccard)
+      .select(col("id_b").as("doc_id")).distinct()
+    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+    // 5: language annotation
+    TextOps.withLangId(deduped)
+      .select(col("doc_id"), col("text"), col("predicted_lang"), col("n_words"))
+  }
+
+  /** Production entry: read a contract table, curate, write curated
+    * parquet + per-partition lineage rows in one pass. */
+  def run(spark: SparkSession, inPath: String, outPath: String,
+      cfg: Config = Config(), runId: String = "run-0",
+      format: String = "parquet"): Unit = {
+    val docs = SgmlExtract.readDocs(spark, inPath, format).toDF()
+    val curated = curate(docs, cfg)
+    curated.write.mode("overwrite").parquet(s"$outPath/curated")
+    // lineage of the parse leg (same schema as SgmlExtract.lineage)
+    val extracted = SgmlExtract.extractDf(docs, cfg.extract)
+    extracted
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col("__pid").as("partition_id"))
+      .agg(count(lit(1)).as("docs"),
+        sum(expr("aggregate(spans, 0L, (a, s) -> a + length(coalesce(s.text, '')))")).as("bytes"),
+        sum(size(col("spans")).cast("long")).as("spans"),
+        sum(size(col("errors")).cast("long")).as("errors"))
+      .withColumn("run_id", lit(runId))
+      .select("run_id", "partition_id", "docs", "bytes", "spans", "errors")
+      .write.mode("overwrite").parquet(s"$outPath/lineage")
+  }
+}

@@ -231,6 +231,19 @@ object SparkEntry {
         .select(col("r_regionkey").cast("long").as("region_key"), col("pwp_out"))
     }),
 
+    // ---- end-to-end curation pipeline -------------------------------------
+    "p1_curate" -> ((s, dir) => {
+      // the whole engine in one plan: parse → quality filter → exact
+      // dedup → minhash fuzzy dedup → lang-id, four shuffles total;
+      // the oracle replays the identical pipeline in SQL from scratch
+      // doc_id stays the contract STRING — the exact-dedup window and the
+      // pair ordering compare lexicographically, and the oracle mirrors
+      // that with VARCHAR ids
+      Pipeline.curate(SgmlExtract.wrapDocuments(s, dir).toDF())
+        .select(col("doc_id"), col("text"), col("predicted_lang"),
+          col("n_words").cast("long").as("n_words"))
+    }),
+
     // ---- deduplication ----------------------------------------------------
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "d2_minhash_bands" -> ((s, dir) => Dedup.minhashBands(s, dir)),
@@ -295,11 +308,11 @@ object SparkEntry {
   // shingle hashes → 64-way minhash signature → banded hashes. Mirrors
   // graft.ops.Dedup bit-for-bit (closed-form coefficients, mod-P integer
   // arithmetic — HUGEINT where the product exceeds 2^63).
-  private val minhashCtes: String =
+  private def minhashCtesFrom(src: String): String =
     s"""w AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
-      |  FROM documents),
+      |  FROM $src),
       |g AS (
       |  SELECT doc_id,
       |    CASE WHEN len(words) = 0 THEN []::VARCHAR[]
@@ -322,7 +335,7 @@ object SparkEntry {
       |  SELECT d.doc_id, p.i,
       |    COALESCE(MIN(CAST((CAST(p.a AS HUGEINT) * u.h + p.b) % ${ops.Dedup.HashP} AS BIGINT)),
       |             9223372036854775807) AS v
-      |  FROM (SELECT doc_id FROM documents) d
+      |  FROM (SELECT doc_id FROM $src) d
       |  CROSS JOIN params p
       |  LEFT JOIN u ON u.doc_id = d.doc_id
       |  GROUP BY d.doc_id, p.i),
@@ -494,10 +507,64 @@ object SparkEntry {
         |  ('lsh', CAST(14 AS BIGINT), CAST(50 AS BIGINT), CAST(0.28 AS DOUBLE)),
         |  ('ivf', CAST(46 AS BIGINT), CAST(50 AS BIGINT), CAST(0.92 AS DOUBLE)))
         | t(method, hits, total, recall)""".stripMargin,
+    // full pipeline replay: quality filter → exact dedup (VARCHAR-ordered
+    // keeper, mirroring the contract's string doc_id) → banded minhash →
+    // Jaccard-verified losers → lang-id — stage for stage what
+    // Pipeline.curate plans in Spark
+    "p1_curate" -> {
+      val stop = TextOps.stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH src AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS n_words
+        |  FROM src
+        |  WHERE LEN(regexp_split_to_array(TRIM(text), '\\s+')) >= 10
+        |    AND LEN(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+        |      x -> list_contains($stop, x))) > 0
+        |    AND LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100 >= LENGTH(text) * 50),
+        |ex AS (
+        |  SELECT doc_id, text, n_words FROM (
+        |    SELECT doc_id, text, n_words,
+        |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM q) t WHERE rn = 1),
+        |${minhashCtesFrom("ex")},
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |losers AS (
+        |  SELECT DISTINCT c.id_b AS doc_id
+        |  FROM cand c JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b
+        |  WHERE ROUND(CASE WHEN len(ga.sh) = 0 AND len(gb.sh) = 0 THEN 1.0
+        |    ELSE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)
+        |         / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) END, 6) >= 0.5),
+        |surv AS (
+        |  SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |sl AS (
+        |  SELECT doc_id, text, n_words,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> list_contains(['el','los','las','es','un','una','que','por'], x))) AS s_es
+        |  FROM surv)
+        |SELECT doc_id, text,
+        |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END AS predicted_lang,
+        |  n_words
+        |FROM sl""".stripMargin
+    },
     "d2_minhash_bands" ->
-      s"WITH $minhashCtes SELECT doc_id, band, band_hash FROM bands",
+      s"WITH ${minhashCtesFrom("documents")} SELECT doc_id, band, band_hash FROM bands",
     "d3_minhash_pairs" ->
-      s"""WITH $minhashCtes,
+      s"""WITH ${minhashCtesFrom("documents")},
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b

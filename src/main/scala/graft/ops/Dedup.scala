@@ -88,21 +88,48 @@ object Dedup {
     sig
   }
 
-  /** doc_id → (band, band_hash) rows; near-dup candidates collide in ≥1
-    * band. Band hash is a codegen'd Column fold (no UDF, no Spark-private
-    * hash — the oracle reproduces it exactly). */
-  def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (id, band, band_hash) rows for ANY (id, text) frame; near-dup
+    * candidates collide in ≥1 band. Band hash is a codegen'd Column fold
+    * (no UDF, no Spark-private hash — the oracle reproduces it exactly). */
+  def bandsOf(d: DataFrame, idCol: String, textCol: String): DataFrame = {
     val mh = udf((t: String) => minhash(t))
-    val d = documents(spark, sfDir)
-      .select(col("doc_id"), mh(col("text")).as("sig"))
+    val sigd = d.select(col(idCol), mh(col(textCol)).as("sig"))
     val bandCols = (0 until Bands).map { b =>
       val bh = (0 until RowsPerBand).foldLeft(lit(0L): Column) { (acc, r) =>
         (acc * BandB + col("sig")(b * RowsPerBand + r) % HashP) % HashP
       }
       struct(lit(b).as("band"), bh.as("band_hash"))
     }
-    d.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
-      .select(col("doc_id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+    sigd.select(col(idCol), explode(array(bandCols: _*)).as("bh"))
+      .select(col(idCol), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+  }
+
+  /** doc_id → (band, band_hash) over the documents table. */
+  def minhashBands(spark: SparkSession, sfDir: String): DataFrame =
+    bandsOf(documents(spark, sfDir), "doc_id", "text")
+
+  /** Jaccard-verified near-dup pairs for ANY (id, text) frame — the
+    * bucket-collect candidate generation of minhashPairs, reusable by the
+    * curation pipeline. */
+  def verifiedPairsOf(d: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    val bands = bandsOf(d, idCol, textCol)
+    val cands = bands
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    val texts = d.select(col(idCol), col(textCol))
+    val jac = udf((x: String, y: String) => ngramJaccard(x, y))
+    cands
+      .join(texts.withColumnRenamed(idCol, "id_a").withColumnRenamed(textCol, "text_a"), "id_a")
+      .join(texts.withColumnRenamed(idCol, "id_b").withColumnRenamed(textCol, "text_b"), "id_b")
+      .withColumn("jaccard", round(jac(col("text_a"), col("text_b")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Candidate pairs from LSH buckets, verified with exact n-gram Jaccard.
@@ -112,25 +139,8 @@ object Dedup {
     * and pairs explode within each bucket. Work is Σ|bucket|² either way
     * (inherent to LSH); a pathological all-identical corpus concentrates
     * in one bucket under both shapes. */
-  def minhashPairs(spark: SparkSession, sfDir: String, minJaccard: Double = 0.5): DataFrame = {
-    val bands = minhashBands(spark, sfDir)
-    val cands = bands
-      .groupBy(col("band"), col("band_hash"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
-    val texts = documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val jac = udf((x: String, y: String) => ngramJaccard(x, y))
-    cands
-      .join(texts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
-      .join(texts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
-      .withColumn("jaccard", round(jac(col("text_a"), col("text_b")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
-  }
+  def minhashPairs(spark: SparkSession, sfDir: String, minJaccard: Double = 0.5): DataFrame =
+    verifiedPairsOf(documents(spark, sfDir), "doc_id", "text", minJaccard)
 
   /** n-gram Jaccard as a standalone surfaced op: similarity of each
     * consecutive doc_id pair — a deterministic, oracle-checkable slice of

@@ -32,21 +32,23 @@ object TextOps {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "der", "die", "das", "und", "le", "la", "les", "et", "el", "los", "y")
 
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = documents(spark, sfDir)
-    val words = split(trim(col("text")), "\\s+")
-    val stopSet = stopwords.map(lit(_))
-    d.select(
-      col("doc_id"),
-      size(words).as("n_words"),
+  /** Append the quality metric columns to ANY frame with `textCol`
+    * (codegen'd built-ins, no UDF) — reusable by the curation pipeline. */
+  def withQuality(d: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    d.withColumn("n_words", size(words))
       // stopword hits via higher-order filter (codegen, no UDF)
-      size(filter(words, w => w.isin(stopwords: _*))).as("stopword_hits"),
-      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("alpha_chars"),
-      length(col("text")).as("n_chars"))
+      .withColumn("stopword_hits", size(filter(words, w => w.isin(stopwords: _*))))
+      .withColumn("alpha_chars", length(regexp_replace(col(textCol), "[^a-zA-Z]", "")))
+      .withColumn("n_chars", length(col(textCol)))
       .withColumn("is_quality",
         (col("n_words") >= 10) && (col("stopword_hits") > 0) &&
         (col("alpha_chars") * 100 >= col("n_chars") * 50))
   }
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    withQuality(documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .drop("text")
 
   /** Whitespace + BPE-ish token counting: words plus punctuation clusters
     * counted as separate tokens (regexp-based, deterministic). */
@@ -63,19 +65,19 @@ object TextOps {
     * → zh; otherwise argmax of per-language marker-token hits. A
     * deterministic heuristic (SURVEY-mandated text-analysis op); compared
     * against the corpus `lang` label for an agreement metric. */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Append `predicted_lang` to ANY frame with `textCol` — reusable by
+    * the curation pipeline; drops its scratch score columns. */
+  def withLangId(d: DataFrame, textCol: String = "text"): DataFrame = {
     val markers: Map[String, Seq[String]] = Map(
       "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it"),
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
       "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
       "es" -> Seq("el", "los", "las", "es", "un", "una", "que", "por"))
-    val d = documents(spark, sfDir)
-    val words = split(lower(col("text")), "\\s+")
-    val scored = markers.foldLeft(d.select(col("doc_id"), col("lang"), col("text"))) {
-      case (df, (l, ms)) =>
-        df.withColumn(s"score_$l", size(filter(words, w => w.isin(ms: _*))))
+    val words = split(lower(col(textCol)), "\\s+")
+    val scored = markers.foldLeft(d) { case (df, (l, ms)) =>
+      df.withColumn(s"score_$l", size(filter(words, w => w.isin(ms: _*))))
     }
-    val hasCjk = col("text").rlike("[\\u4e00-\\u9fff]")
+    val hasCjk = col(textCol).rlike("[\\u4e00-\\u9fff]")
     scored
       .withColumn("predicted_lang",
         when(hasCjk, lit("zh")).otherwise(
@@ -87,9 +89,13 @@ object TextOps {
                   col("score_de") >= col("score_es"), "de")
             .when(col("score_fr") >= col("score_es"), "fr")
             .otherwise("es")))
+      .drop("score_en", "score_de", "score_fr", "score_es")
+  }
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    withLangId(documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"), col("predicted_lang"),
         (col("lang") === col("predicted_lang")).as("agree"))
-  }
 
   /** Rolling-hash document fingerprint (winnowing-style): Rabin-Karp over
     * code-point 16-grams with base-31 mod-P arithmetic (P prime > 2^32 —
