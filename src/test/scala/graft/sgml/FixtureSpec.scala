@@ -463,6 +463,44 @@ class FixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("F23 omission repair: p/p, dl lists, select options, thead/tbody") {
+    val c = cfg(Dialect.Html4, SpaceMode.SgmlMode)
+    def elems(e: Node.Elem): Vector[String] =
+      e.children.collect { case x: Node.Elem => x.name }.toVector
+    def root(doc: String): Node.Elem =
+      SgmlParser.parse(doc, c).content.collectFirst { case e: Node.Elem => e }.get
+
+    // p omit-end: a second <p> closes the first, it does not nest
+    val d1 = root("<div><p>one<p>two</div>")
+    assert(elems(d1) == Vector("p", "p"))
+
+    // dt/dd omit-end inside dl
+    val dl = root("<dl><dt>term<dd>def one<dt>term2<dd>def two</dl>")
+    assert(elems(dl) == Vector("dt", "dd", "dt", "dd"))
+    assert(SgmlParser.spans("<dl><dt>t<dd>d</dl>", c)._1.map(_.text) ==
+      Vector("t", "d"))
+
+    // option omit-end inside select
+    val sel = root("<select><option>a<option>b<option>c</select>")
+    assert(elems(sel) == Vector("option", "option", "option"))
+
+    // thead model is (tr)+ so consecutive tr's STAY in thead (DTD
+    // semantics, not browser semantics); after an explicit </thead> the
+    // next tr implies <tbody>
+    val tbl0 = root("<table><thead><tr><th>h</tr><tr><td>x</table>")
+    assert(elems(tbl0) == Vector("thead"))
+    val tbl = root("<table><thead><tr><th>h</thead><tr><td>x</table>")
+    assert(elems(tbl) == Vector("thead", "tbody"))
+    val thead = tbl.children.collectFirst { case e: Node.Elem => e }.get
+    assert(elems(thead) == Vector("tr"))
+
+    // li content may hold blocks; nested list closes at the outer </ul>
+    val ul = root("<ul><li>a<ul><li>a1</ul><li>b</ul>")
+    assert(elems(ul) == Vector("li", "li"))
+    assert(SgmlParser.spans("<ul><li>a<ul><li>a1</ul><li>b</ul>", c)._1.map(_.text) ==
+      Vector("a", "a1", "b"))
+  }
+
   test("F20 xhtml dialect: namespace-qualified names + HTML entity table") {
     val doc = "<html xmlns=\"http://www.w3.org/1999/xhtml\"><body>" +
       "<p>a&nbsp;b</p></body></html>"
