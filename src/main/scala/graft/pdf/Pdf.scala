@@ -175,6 +175,43 @@ object Pdf {
         case _ => // comments/xref noise between objects: skip
       }
     }
+    // PDF 1.5 compressed object streams (/Type /ObjStm): first-class in
+    // real-world PDFs — inflate each, parse the `num offset` header
+    // pairs, then parse the member objects. Members never override
+    // already-scanned top-level objects (same first-wins robustness).
+    objs.toSeq.collect {
+      case (_, s: PStream) if s.dict.get("Type").contains(PName("ObjStm")) => s
+    }.foreach { s =>
+      val data = new Document(objs.toMap, None, Vector.empty).decodeStream(s)
+      val n = s.dict.get("N") match {
+        case Some(PNum(v)) => v.toInt
+        case _ => 0
+      }
+      val first = s.dict.get("First") match {
+        case Some(PNum(v)) => v.toInt
+        case _ => 0
+      }
+      if (n > 0 && data.nonEmpty) {
+        val hl = new Lexer(data)
+        val header = Vector.newBuilder[(Int, Int)]
+        var i = 0
+        var ok = true
+        while (i < n && ok) {
+          (hl.token(), hl.token()) match {
+            case (TInt(num), TInt(off)) => header += ((num, off))
+            case _ => ok = false
+          }
+          i += 1
+        }
+        header.result().foreach { case (num, off) =>
+          if (!objs.contains(num) && first + off >= 0 && first + off < data.length) {
+            val ol = new Lexer(data)
+            ol.pos = first + off
+            objs(num) = parseValue(ol, errs, 0)
+          }
+        }
+      }
+    }
     // fallback trailer: a catalog object makes an implicit root
     if (trailer.isEmpty) {
       objs.toSeq.sortBy(_._1).collectFirst {

@@ -106,6 +106,32 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("PDF 1.5 compressed object streams (/ObjStm) resolve members") {
+    // page + catalog + pages dicts live INSIDE a Flate object stream;
+    // only the content stream is a top-level object
+    val content = "BT (from objstm) Tj ET"
+    val members = "<< /Type /Catalog /Pages 2 0 R >> " +
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >> " +
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val off2 = members.indexOf("<< /Type /Pages")
+    val off3 = members.indexOf("<< /Type /Page /")
+    val header = s"1 0 2 $off2 3 $off3 "
+    val payload = (header + members).getBytes("ISO-8859-1")
+    val deflated = PdfWriter.deflate(payload)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w(s"5 0 obj << /Type /ObjStm /N 3 /First ${header.length} " +
+      s"/Length ${deflated.length} /Filter /FlateDecode >> stream\n")
+    out.write(deflated)
+    w("\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    w("trailer << /Size 6 /Root 1 0 R >>")
+    val r = Pdf.extractText(out.toByteArray)
+    assert(r.text == "from objstm")
+    assert(r.nPages == 1)
+  }
+
   test("indirect /Length reference and stream-length fallback both work") {
     val content = "BT (len via ref) Tj ET"
     val pdf = ("%PDF-1.4\n" +
