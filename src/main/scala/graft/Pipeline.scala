@@ -42,8 +42,14 @@ object Pipeline {
       if (cfg.partitions > 0)
         SgmlExtract.sizeAwareRepartition(docs, cfg.partitions)
       else docs
-    // 1-2: parse + concat text + quality metrics, drop failed/junk docs
-    val texts = SgmlExtract.extractDf(repart, cfg.extract)
+    curateExtracted(SgmlExtract.extractDf(repart, cfg.extract), cfg)
+  }
+
+  /** Stages 2-5 over an ALREADY-extracted frame (doc_id, spans, errors) —
+    * lets `run` parse once and feed several consumers. */
+  def curateExtracted(extracted: DataFrame, cfg: Config = Config()): DataFrame = {
+    // 2: concat text + quality metrics, drop failed/junk docs
+    val texts = extracted
       .select(col("doc_id"),
         expr("aggregate(spans, '', (acc, sp) -> acc || sp.text)").as("text"),
         size(col("errors")).as("n_errors"))
@@ -64,18 +70,25 @@ object Pipeline {
       .select(col("doc_id"), col("text"), col("predicted_lang"), col("n_words"))
   }
 
-  /** Production entry: read a contract table, curate, write curated
-    * parquet + per-partition lineage rows in one pass. */
+  /** Production entry: read a contract table, PARSE ONCE, write the
+    * extracted product, then derive curated output + per-partition
+    * lineage from the cheap columnar re-read — the expensive leg (the
+    * parse kernel) never runs twice (same single-scan discipline as
+    * graft.Resume; the r1 review flagged exactly this 2× amplification
+    * pattern). */
   def run(spark: SparkSession, inPath: String, outPath: String,
       cfg: Config = Config(), runId: String = "run-0",
       format: String = "parquet"): Unit = {
     val docs = SgmlExtract.readDocs(spark, inPath, format).toDF()
-    val curated = curate(docs, cfg)
-    curated.write.mode("overwrite").parquet(s"$outPath/curated")
-    // lineage of the parse leg (same schema as SgmlExtract.lineage)
-    val extracted = SgmlExtract.extractDf(docs, cfg.extract)
-    extracted
+    val repart =
+      if (cfg.partitions > 0)
+        SgmlExtract.sizeAwareRepartition(docs, cfg.partitions)
+      else docs
+    SgmlExtract.extractDf(repart, cfg.extract)
       .withColumn("__pid", spark_partition_id())
+      .write.mode("overwrite").parquet(s"$outPath/extracted")
+    val extracted = spark.read.parquet(s"$outPath/extracted")
+    extracted
       .groupBy(col("__pid").as("partition_id"))
       .agg(count(lit(1)).as("docs"),
         sum(expr("aggregate(spans, 0L, (a, s) -> a + length(coalesce(s.text, '')))")).as("bytes"),
@@ -84,5 +97,7 @@ object Pipeline {
       .withColumn("run_id", lit(runId))
       .select("run_id", "partition_id", "docs", "bytes", "spans", "errors")
       .write.mode("overwrite").parquet(s"$outPath/lineage")
+    curateExtracted(extracted.drop("__pid"), cfg)
+      .write.mode("overwrite").parquet(s"$outPath/curated")
   }
 }
