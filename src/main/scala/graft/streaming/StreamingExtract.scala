@@ -119,6 +119,29 @@ object StreamingExtract {
       }
   }
 
+  /** Streaming leg of the curation pipeline (batch twin:
+    * graft.Pipeline.curate): text + quality filter (narrow) + STATEFUL
+    * exact dedup — `dropDuplicates` on the content hash keeps one state
+    * entry per distinct content, first-seen-wins in stream order
+    * (arrival order replaces the batch keeper rule; deterministic per
+    * checkpointed run). Production jobs add a watermark column before
+    * the dropDuplicates to bound state by time. Fuzzy dedup is
+    * inherently corpus-global, so it stays a periodic batch stage over
+    * this stream's sink (the standard lambda split — Pipeline.curate
+    * picks up exactly where this leaves off). */
+  def curatedStream(extracted: Dataset[Extracted]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val texts = extracted.toDF()
+      .select(col("doc_id"),
+        expr("aggregate(spans, '', (acc, sp) -> acc || sp.text)").as("text"),
+        size(col("errors")).as("n_errors"))
+    graft.ops.TextOps.withQuality(texts)
+      .filter(col("is_quality") && col("n_errors") === 0)
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+      .select(col("doc_id"), col("text"), col("n_words"))
+  }
+
   /** Convenience: run a chunk stream through assembly+extract into an
     * in-memory table (tests / demos); returns after all available data is
     * processed. Production uses the same plan with a parquet/Iceberg sink

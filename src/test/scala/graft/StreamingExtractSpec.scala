@@ -120,4 +120,26 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0).spans === SgmlExtract.parseDoc(
       Doc("W", Seq(InSpan("text", html2, null, 0))), cfg.toParserConfig).spans)
   }
+
+  test("streaming curation: quality filter + stateful exact dedup") {
+    import spark.implicits._
+    val good = "<p>the quick brown fox jumps over the lazy dog and runs far away</p>"
+    val mem = MemoryStream[Doc](spark)
+    mem.addData(Seq(
+      Doc("c1", Seq(InSpan("text", good, null, 0))),
+      Doc("c2", Seq(InSpan("text", good, null, 0))),      // exact dup → dropped
+      Doc("c3", Seq(InSpan("text", "<p>junk</p>", null, 0))))) // quality-dropped
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt3").toString
+    val q = StreamingExtract.curatedStream(
+        StreamingExtract.extractStream(mem.toDS(), cfg))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_curated").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // a later micro-batch re-sending the same content must stay deduped
+    mem.addData(Seq(Doc("c4", Seq(InSpan("text", good, null, 0)))))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_curated")
+      .select("doc_id").as[String].collect().toSet
+    assert(got == Set("c1"))
+  }
 }
