@@ -110,14 +110,23 @@ object Dedup {
 
   /** Jaccard-verified near-dup pairs for ANY (id, text) frame — the
     * bucket-collect candidate generation of minhashPairs, reusable by the
-    * curation pipeline. */
+    * curation pipeline.
+    *
+    * `maxBucket` is the 100 TB safety valve: a boilerplate-heavy corpus
+    * can put millions of docs into one band bucket, and the in-bucket
+    * pair explosion is |bucket|² — a mega-bucket is both an OOM risk
+    * (collect_list) and useless for dedup (its members are better
+    * handled by exact dedup / template detection upstream). Buckets
+    * larger than the cap are dropped WHOLE; Int.MaxValue (the default,
+    * shared with the oracles) disables the cap. Production pipelines
+    * should set it to O(10³) and count the dropped buckets. */
   def verifiedPairsOf(d: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
     val bands = bandsOf(d, idCol, textCol)
     val cands = bands
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
