@@ -296,28 +296,63 @@ object SgmlExtract {
   }
 
   /** Size-aware repartition for skewed giant docs (north rule; SURVEY.md
-    * §4.1): normal docs hash-bucket by doc_id into `numPartitions` tasks;
-    * whales (≥ whaleChars) are split off and ROUND-ROBIN distributed over
-    * their own `whalePartitions` tasks — a deterministic ≤⌈W/whaleParts⌉
-    * whales-per-task bound (hash placement would let whales collide).
-    * Parse cost is linear in chars, so the whale stage is byte-balanced;
-    * the union keeps both sides in one job. */
+    * §4.1): whales (≥ whaleChars) are placed ROUND-ROBIN on exact
+    * partitions — a deterministic ≤⌈W/P⌉ whales-per-task bound, where
+    * hash placement would let whales collide — and everything else
+    * hash-distributes uniformly over the same partitions.
+    *
+    * Shape (r2 redesign, measured): ONE exchange of the data plus one
+    * cheap id pass. Pass 1 scans only (doc_id, chars) and collects the
+    * whale ids driver-side — whales are rare by definition (the id list
+    * is ~10⁴ rows at 100 TB; above `MaxDriverWhales` the call degrades
+    * gracefully to plain hashing rather than ship a huge literal). Pass 2
+    * keys a single `repartition` with a probe integer whose Murmur3 hash
+    * lands on the whale's round-robin target partition (normals key by
+    * `hash(doc_id)` — uniform over all partitions). The previous
+    * branch/window/union design funnelled whale BYTES through a
+    * single-partition window and re-read the source per branch — it cost
+    * more than it balanced once the parse kernel got fast.
+    *
+    * `whalePartitions` is retained for API compatibility; whales now
+    * share the one partition space with the uniformly-spread normals, so
+    * a dedicated whale band no longer helps. */
   def sizeAwareRepartition(df: DataFrame, numPartitions: Int,
       whaleChars: Long = 8L << 20, whalePartitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wp = if (whalePartitions > 0) whalePartitions else numPartitions
     val chars = expr("aggregate(spans, 0L, (acc, s) -> acc + length(coalesce(s.text, '')))")
-    val tagged = df.withColumn("__is_whale", chars >= whaleChars)
-    val normals = tagged.filter(!col("__is_whale"))
-      .repartition(numPartitions, col("doc_id"))
-    // explicit slot + range partitioning → slots are chunked evenly by
-    // construction (hash or round-robin placement can collide whales).
-    // The global window runs over WHALES ONLY — a rare, tiny subset.
-    val whales = tagged.filter(col("__is_whale"))
-      .withColumn("__slot", row_number().over(Window.orderBy(col("doc_id"))))
-      .repartitionByRange(wp, col("__slot"))
-      .drop("__slot")
-    normals.union(whales).drop("__is_whale")
+    val whaleIds = df
+      .select(col("doc_id"))
+      .where(chars >= whaleChars)
+      .collect().map(_.getString(0)).sorted
+    if (whaleIds.isEmpty || whaleIds.length > MaxDriverWhales)
+      return df.repartition(numPartitions, col("doc_id"))
+    val probes = partitionProbeKeys(numPartitions)
+    val slotKey: Map[String, Int] = whaleIds.zipWithIndex.map {
+      case (id, i) => id -> probes(i % numPartitions)
+    }.toMap
+    df.repartition(numPartitions,
+      coalesce(element_at(typedLit(slotKey), col("doc_id")), hash(col("doc_id"))))
+  }
+
+  /** Cap on the driver-side whale-id map (plan-literal size bound). */
+  val MaxDriverWhales = 100000
+
+  /** probe(p) = the smallest int whose Murmur3 hash (seed 42 — what
+    * HashPartitioning uses for an int key) routes to partition p of
+    * `parts`; keying an exchange with probe((slot-1) % parts) places each
+    * whale slot on its exact round-robin target through a plain hash
+    * repartition. */
+  private[graft] def partitionProbeKeys(parts: Int): Array[Int] = {
+    val keys = new Array[Int](parts)
+    val found = new Array[Boolean](parts)
+    var remaining = parts
+    var k = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42)
+      val p = ((h % parts) + parts) % parts
+      if (!found(p)) { found(p) = true; keys(p) = k; remaining -= 1 }
+      k += 1
+    }
+    keys
   }
 
   /** Attach observed metrics to an extracted DataFrame (SURVEY.md §7
