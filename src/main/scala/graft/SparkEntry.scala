@@ -474,10 +474,17 @@ object SparkEntry {
         |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin,
     "e2_knn_lsh" ->
       s"""WITH ${lshBucketCtes(Similarity.DefaultTables, Similarity.DefaultPlanes)},
-        |cand AS (
-        |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
-        |  FROM b q JOIN b e ON q.tbl = e.tbl AND q.bucket = e.bucket AND e.vec_id <> q.vec_id
+        |qp AS (
+        |  SELECT q.vec_id, q.tbl,
+        |    CASE WHEN p.p < 0 THEN q.bucket
+        |         ELSE xor(q.bucket, CAST(1 AS BIGINT) << p.p) END AS bucket
+        |  FROM b q,
+        |    (SELECT -1 AS p UNION ALL
+        |     SELECT CAST(p AS INTEGER) FROM range(${Similarity.DefaultPlanes}) t(p)) p
         |  WHERE q.vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT qp.vec_id AS query_id, e.vec_id AS neighbor_id
+        |  FROM qp JOIN b e ON e.tbl = qp.tbl AND e.bucket = qp.bucket AND e.vec_id <> qp.vec_id),
         |scored AS (
         |  SELECT c.query_id, c.neighbor_id,
         |    ROW_NUMBER() OVER (PARTITION BY c.query_id
@@ -498,13 +505,14 @@ object SparkEntry {
     // and the IVF fit is a driver-side Lloyd's over an ordered bounded
     // sample, so recall@5 at the driver's verify SF (sf0.01: 10 queries ×
     // k=5 over 500 near-orthogonal random vectors) is a deterministic
-    // constant. Multi-table LSH (8×6-bit) hits 0.28 and multi-probe IVF
-    // (4/16 cells) 0.92 on this structureless corpus — LSH is an
-    // intentional floor; clustered real embeddings score far higher at
-    // the same parameters.
+    // constant. Multi-table multi-probe LSH (8×6-bit, 1-bit flips) hits
+    // 0.76 (was 0.28 single-probe) and multi-probe IVF (4/16 cells) 0.92
+    // on this structureless corpus; clustered real embeddings score
+    // higher at the same parameters. NOTE: pins are SF-specific by
+    // nature — recall is a property of the data.
     "e5_ann_recall" ->
       """SELECT * FROM (VALUES
-        |  ('lsh', CAST(14 AS BIGINT), CAST(50 AS BIGINT), CAST(0.28 AS DOUBLE)),
+        |  ('lsh', CAST(38 AS BIGINT), CAST(50 AS BIGINT), CAST(0.76 AS DOUBLE)),
         |  ('ivf', CAST(46 AS BIGINT), CAST(50 AS BIGINT), CAST(0.92 AS DOUBLE)))
         | t(method, hits, total, recall)""".stripMargin,
     // full pipeline replay: quality filter → exact dedup (VARCHAR-ordered

@@ -87,19 +87,25 @@ object Similarity {
       .withColumn("bucket", bucketOf(col("embedding"), col("tbl")))
   }
 
-  /** Approximate top-k via multi-table sign-LSH: candidates = union over
-    * tables of the query's bucket (equi-join on (table, bucket), distinct),
-    * ranked by exact cosine. The candidate join is shuffle-free on the
-    * query side (broadcast); at 100 TB the bucketed corpus can live
-    * bucketed-at-rest so repeated query batches skip the exchange. */
+  /** Approximate top-k via multi-table sign-LSH with query-side
+    * MULTI-PROBE: each query probes its own bucket plus every 1-bit
+    * flip of it per table (the standard recall lever — a near neighbor
+    * on the wrong side of one hyperplane still surfaces), candidates =
+    * equi-join on (table, bucket), distinct, ranked by exact cosine.
+    * Probing multiplies only the tiny broadcast query side
+    * ((1+nPlanes)× rows), never the corpus; at 100 TB the bucketed
+    * corpus can live bucketed-at-rest so repeated query batches skip
+    * the exchange. */
   def knnLsh(spark: SparkSession, sfDir: String,
       numQueries: Int = 10, k: Int = 5,
       nPlanes: Int = DefaultPlanes, nTables: Int = DefaultTables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = lshBuckets(spark, sfDir, nPlanes, nTables)
+    val probeCols: Seq[Column] =
+      col("bucket") +: (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
     val queryBuckets = bucketed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("tbl").as("q_tbl"),
-        col("bucket").as("q_bucket"))
+        explode(array(probeCols: _*)).as("q_bucket"))
     val cands = bucketed
       .join(broadcast(queryBuckets),
         col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&

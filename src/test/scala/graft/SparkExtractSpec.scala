@@ -201,15 +201,18 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.length == 25) // 5 queries × 5 ranked neighbors
     val ranks = exact.groupBy(_.getLong(0)).values
     assert(ranks.forall(_.map(_.getInt(1)).sorted.sameElements(1 to 5)))
-    // multi-table LSH is approximate: every candidate shares a bucket with
-    // its query in at least one of the hash tables
+    // multi-table multi-probe LSH is approximate: every candidate's bucket
+    // is within hamming distance 1 of its query's bucket (the probe set:
+    // own bucket + every 1-bit flip) in at least one hash table
     val buckets = Similarity.lshBuckets(spark, sf, nPlanes = 2)
       .select("vec_id", "tbl", "bucket").collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     val approx = Similarity.knnLsh(spark, sf, numQueries = 5, k = 5, nPlanes = 2).collect()
     assert(approx.nonEmpty)
-    assert(approx.forall(r => (0 until Similarity.DefaultTables).exists(t =>
-      buckets((r.getLong(2), t)) == buckets((r.getLong(0), t)))))
+    assert(approx.forall(r => (0 until Similarity.DefaultTables).exists { t =>
+      val d = java.lang.Long.bitCount(buckets((r.getLong(2), t)) ^ buckets((r.getLong(0), t)))
+      d <= 1
+    }))
     // with 2 planes (4 big buckets), top-1 recall is usually non-zero; the
     // property that matters structurally is determinism
     val again = Similarity.knnLsh(spark, sf, numQueries = 5, k = 5, nPlanes = 2).collect()
