@@ -30,6 +30,36 @@ import graft.ops.{Dedup, TextOps}
   */
 object Pipeline {
 
+  /** spark-submit entry:
+    * {{{
+    * spark-submit --class graft.Pipeline <jar> <inPath> <outPath> \
+    *   [dialect=html4] [space=preserve] [minJaccard=0.5] [partitions=0] \
+    *   [runId=run-0] [format=parquet]
+    * }}}
+    * Writes `<outPath>/{extracted,curated,lineage}`. */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Pipeline <inPath> <outPath> [k=v …]")
+    val kv = args.drop(2).flatMap(_.split("=", 2) match {
+      case Array(k, v) => Some(k -> v)
+      case _ => None
+    }).toMap
+    val spark = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    val cfg = Config(
+      extract = SgmlExtract.Config(
+        dialect = kv.getOrElse("dialect", "html4"),
+        space = kv.getOrElse("space", "preserve")),
+      minJaccard = kv.getOrElse("minJaccard", "0.5").toDouble,
+      partitions = kv.getOrElse("partitions", "0").toInt)
+    run(spark, args(0), args(1), cfg,
+      runId = kv.getOrElse("runId", "run-0"),
+      format = kv.getOrElse("format", "parquet"))
+    spark.stop()
+  }
+
   final case class Config(
       extract: SgmlExtract.Config = SgmlExtract.Config(dialect = "html4", space = "preserve"),
       minJaccard: Double = 0.5,
