@@ -333,8 +333,12 @@ object SgmlExtract {
       coalesce(element_at(typedLit(slotKey), col("doc_id")), hash(col("doc_id"))))
   }
 
-  /** Cap on the driver-side whale-id map (plan-literal size bound). */
-  val MaxDriverWhales = 100000
+  /** Cap on the driver-side whale-id map: the id→probe map ships as a
+    * plan literal, and beyond ~10⁴ entries literal size starts to tax
+    * plan serialization; above the cap the call degrades to plain hash
+    * partitioning (an input with >10⁴ whales has a skew profile that
+    * wants a dedicated job split, not per-row salting). */
+  val MaxDriverWhales = 10000
 
   /** probe(p) = the smallest int whose Murmur3 hash (seed 42 — what
     * HashPartitioning uses for an int key) routes to partition p of
