@@ -53,7 +53,8 @@ object Pipeline {
         dialect = kv.getOrElse("dialect", "html4"),
         space = kv.getOrElse("space", "preserve")),
       minJaccard = kv.getOrElse("minJaccard", "0.5").toDouble,
-      partitions = kv.getOrElse("partitions", "0").toInt)
+      partitions = kv.getOrElse("partitions", "0").toInt,
+      maxBucket = kv.getOrElse("maxBucket", Int.MaxValue.toString).toInt)
     run(spark, args(0), args(1), cfg,
       runId = kv.getOrElse("runId", "run-0"),
       format = kv.getOrElse("format", "parquet"))
@@ -63,7 +64,11 @@ object Pipeline {
   final case class Config(
       extract: SgmlExtract.Config = SgmlExtract.Config(dialect = "html4", space = "preserve"),
       minJaccard: Double = 0.5,
-      partitions: Int = 0) // 0 = leave the input partitioning alone
+      partitions: Int = 0, // 0 = leave the input partitioning alone
+      /** LSH mega-bucket cap (Dedup.verifiedPairsOf) — the 100 TB safety
+        * valve; production sets O(10³). Default uncapped for oracle
+        * parity at test SFs. */
+      maxBucket: Int = Int.MaxValue)
 
   /** Contract table (doc_id, spans) → curated (doc_id, text, predicted_lang,
     * n_words). */
@@ -75,24 +80,41 @@ object Pipeline {
     curateExtracted(SgmlExtract.extractDf(repart, cfg.extract), cfg)
   }
 
-  /** Stages 2-5 over an ALREADY-extracted frame (doc_id, spans, errors) —
-    * lets `run` parse once and feed several consumers. */
-  def curateExtracted(extracted: DataFrame, cfg: Config = Config()): DataFrame = {
-    // 2: concat text + quality metrics, drop failed/junk docs
+  /** Stage 2: span-concat + error count + quality gate — shared verbatim
+    * by the streaming leg (StreamingExtract.curatedStream), so the batch
+    * and streaming quality semantics cannot drift apart. */
+  private[graft] def qualityStage(extracted: DataFrame): DataFrame = {
     val texts = extracted
       .select(col("doc_id"),
         expr("aggregate(spans, '', (acc, sp) -> acc || sp.text)").as("text"),
         size(col("errors")).as("n_errors"))
-    val quality = TextOps.withQuality(texts)
+    TextOps.withQuality(texts)
       .filter(col("is_quality") && col("n_errors") === 0)
       .select(col("doc_id"), col("text"), col("n_words"))
-    // 3: exact dedup — keep the lowest doc_id per content hash
+  }
+
+  /** Stages 2-5 over an ALREADY-extracted frame (doc_id, spans, errors) —
+    * lets `run` parse once and feed several consumers. */
+  def curateExtracted(extracted: DataFrame, cfg: Config = Config()): DataFrame = {
+    // 2: concat text + quality metrics, drop failed/junk docs
+    val quality = qualityStage(extracted)
+    // 3: exact dedup — keep the lowest doc_id per content hash.
+    // PERSISTED: the fuzzy stage references this subtree four times
+    // (bands, both verify-join text sides, anti-join left); without the
+    // persist each branch re-executes the parse kernel — the dominant
+    // cost — under a different column pruning, which also defeats
+    // exchange reuse. MEMORY_AND_DISK holds the post-quality text
+    // corpus; at sizes where that is unwelcome, materialize to a table
+    // (Pipeline.run's extracted product plays that role for the parse
+    // leg) and curate from the re-read.
     val wHash = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     val exact = quality
       .withColumn("__rn", row_number().over(wHash))
       .filter(col("__rn") === 1).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 4: fuzzy dedup — drop the greater member of every verified pair
-    val losers = Dedup.verifiedPairsOf(exact, "doc_id", "text", cfg.minJaccard)
+    val losers = Dedup.verifiedPairsOf(exact, "doc_id", "text",
+        cfg.minJaccard, cfg.maxBucket)
       .select(col("id_b").as("doc_id")).distinct()
     val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
     // 5: language annotation

@@ -319,9 +319,13 @@ object SgmlExtract {
   def sizeAwareRepartition(df: DataFrame, numPartitions: Int,
       whaleChars: Long = 8L << 20, whalePartitions: Int = 0): DataFrame = {
     val chars = expr("aggregate(spans, 0L, (acc, s) -> acc + length(coalesce(s.text, '')))")
+    // limit BEFORE collect: the cap must bound the driver transfer itself,
+    // not just check it after the fact (a corpus where most docs are
+    // whales would otherwise OOM the driver before the check ran)
     val whaleIds = df
       .select(col("doc_id"))
       .where(chars >= whaleChars)
+      .limit(MaxDriverWhales + 1)
       .collect().map(_.getString(0)).sorted
     if (whaleIds.isEmpty || whaleIds.length > MaxDriverWhales)
       return df.repartition(numPartitions, col("doc_id"))

@@ -51,17 +51,22 @@ object PdfOps {
     df.select(col("doc_id").cast("string"), col("pdf"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val doc = Pdf.parse(if (bytes == null) Array.emptyByteArray else bytes)
-        val pages = doc.pages
-        var off = 0
-        val spans = pages.map { p =>
-          val sb = new java.lang.StringBuilder(256)
-          Pdf.contentText(doc.pageContent(p), sb)
-          val s = sb.toString
-          val sp = graft.InSpan("text", s, null, off)
-          off += s.length + 1 // the inter-page '\n'
-          sp
-        }
+        // same Throwable backstop as Pdf.extractText: a poisoned
+        // document is data (empty span list), never a failed task
+        val spans =
+          try {
+            val doc = Pdf.parse(if (bytes == null) Array.emptyByteArray else bytes)
+            val pages = doc.pages
+            var off = 0
+            pages.map { p =>
+              val sb = new java.lang.StringBuilder(256)
+              Pdf.contentText(doc.pageContent(p), sb)
+              val s = sb.toString
+              val sp = graft.InSpan("text", s, null, off)
+              off += s.length + 1 // the inter-page '\n'
+              sp
+            }
+          } catch { case _: Throwable => Vector.empty[graft.InSpan] }
         graft.Doc(id, spans)
       })
       .toDF("doc_id", "spans")

@@ -463,8 +463,19 @@ object Pdf {
       }) pos += 1
       val s = new String(b, st, pos - st, java.nio.charset.StandardCharsets.ISO_8859_1)
       if (s.isEmpty || s == "+" || s == "-" || s == ".") TErr("bad number")
-      else if (real) TReal(s.toDouble)
-      else try TInt(s.toInt) catch { case _: NumberFormatException => TReal(s.toDouble) }
+      else if (real)
+        // never throw from the lexer: `1.2.3` and friends occur in
+        // garbage input and must degrade to an error token, not kill
+        // the task ("errors are data" contract)
+        try TReal(s.toDouble)
+        catch { case _: NumberFormatException => TErr(s"bad real: $s") }
+      else
+        try TInt(s.toInt)
+        catch {
+          case _: NumberFormatException =>
+            try TReal(s.toDouble)
+            catch { case _: NumberFormatException => TErr(s"bad number: $s") }
+        }
     }
 
     private def name(): Tok = {
@@ -473,8 +484,10 @@ object Pdf {
       while (pos < b.length && !isWs(b(pos) & 0xFF) && !isDelim(b(pos) & 0xFF)) {
         val c = b(pos) & 0xFF
         if (c == '#' && pos + 2 < b.length) {
-          val h = Character.digit(b(pos + 1), 16) * 16 + Character.digit(b(pos + 2), 16)
-          if (h >= 0) { sb.append(h.toChar); pos += 3 }
+          val d1 = Character.digit(b(pos + 1), 16)
+          val d2 = Character.digit(b(pos + 2), 16)
+          // BOTH digits must be valid hex (`/A#4Z` keeps the literal '#')
+          if (d1 >= 0 && d2 >= 0) { sb.append((d1 * 16 + d2).toChar); pos += 3 }
           else { sb.append('#'); pos += 1 }
         } else { sb.append(c.toChar); pos += 1 }
       }

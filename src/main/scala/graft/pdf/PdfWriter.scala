@@ -53,7 +53,10 @@ object PdfWriter {
     val xrefAt = out.size()
     w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
-    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    // NB: s-interpolator does NOT collapse %% (only the f-interpolator
+    // does) — the marker below is the literal spec-required %%EOF
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n")
+    w("%%EOF\n")
     out.toByteArray
   }
 

@@ -25,8 +25,15 @@ final class NameTable(fold: Boolean) {
   private val keys = new Array[String](Size)
   private var n = 0
 
+  // Per-CHAR case folding (Character.toLowerCase), not String.toLowerCase:
+  // identical for ASCII and for the non-ASCII letters that appear in real
+  // markup (Ü→ü, É→é, Cyrillic, Greek); the only divergence is the handful
+  // of code points whose String lowercase expands to MULTIPLE chars
+  // (e.g. İ U+0130) — documented single-char contract, and deterministic.
   private def foldc(c: Char): Char =
-    if (fold && c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    if (!fold) c
+    else if (c < 0x80) { if (c >= 'A' && c <= 'Z') (c + 32).toChar else c }
+    else Character.toLowerCase(c)
 
   /** Interned, case-folded copy of `sb`'s content. */
   def intern(sb: java.lang.StringBuilder): String = {

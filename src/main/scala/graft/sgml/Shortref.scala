@@ -25,10 +25,13 @@ package graft.sgml
   *  - `&#TAB;` / `&#SPACE;` — explicit tab / space.
   *
   * Recognition is longest-match at each position, first-declared entry
-  * winning ties; it applies to PCDATA runs only (not CDATA/RCDATA
-  * element content, not inside entity replacement text) and never spans
-  * intervening markup. All of that is evaluated task-locally inside the
-  * parse kernel — nothing here touches Spark.
+  * winning ties; it applies to the assembled PCDATA run — which, per
+  * ISO 8879's content-mode rescanning, INCLUDES text contributed by
+  * general-entity expansion (so a delimiter may span an entity
+  * boundary); it does not apply to CDATA/RCDATA element content, inside
+  * a SHORTREF-mapped entity's own expansion (no recursive recognition),
+  * or across intervening markup. All of that is evaluated task-locally
+  * inside the parse kernel — nothing here touches Spark.
   */
 object Shortref {
 

@@ -713,8 +713,15 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
     * Leaves the tail in textBuf for the caller's flushText. No-op unless
     * a map is active, so the HTML/XML hot path pays one null check. */
   private def srProcess(): Unit = {
+    if (srBusy || textBuf.length() == 0) return
     val rules = holder.activeShortrefs
-    if (rules == null || srBusy || textBuf.length() == 0) return
+    if (rules == null) {
+      // keep the line-start flag current even while no map is active —
+      // a map activated mid-document (in-instance USEMAP) must not see
+      // a stale &#RS; anchor
+      srLineStart = textBuf.charAt(textBuf.length() - 1) == '\n'
+      return
+    }
     val s = textBuf.toString
     val start = textStart
     textBuf.setLength(0)

@@ -131,12 +131,9 @@ object StreamingExtract {
     * picks up exactly where this leaves off). */
   def curatedStream(extracted: Dataset[Extracted]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val texts = extracted.toDF()
-      .select(col("doc_id"),
-        expr("aggregate(spans, '', (acc, sp) -> acc || sp.text)").as("text"),
-        size(col("errors")).as("n_errors"))
-    graft.ops.TextOps.withQuality(texts)
-      .filter(col("is_quality") && col("n_errors") === 0)
+    // quality gate SHARED with the batch pipeline (one implementation,
+    // the legs cannot drift), then the streaming-specific stateful dedup
+    graft.Pipeline.qualityStage(extracted.toDF())
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
       .select(col("doc_id"), col("text"), col("n_words"))

@@ -90,6 +90,25 @@ class PdfSpec extends AnyFunSuite {
     assert(r.nPages == 1)
   }
 
+  test("written files end with the %%EOF marker (not %%%%EOF)") {
+    val bytes = PdfWriter.singlePage("x")
+    val tail = new String(bytes.takeRight(16), "ISO-8859-1")
+    assert(tail.endsWith("%%EOF\n"), tail)
+    assert(!tail.contains("%%%%"), tail)
+  }
+
+  test("malformed numbers and bad name escapes degrade, never throw") {
+    // `1.2.3` used to escape the lexer as NumberFormatException
+    val junk = "1 0 obj << /V 1.2.3 /N#4Z 5 >> endobj".getBytes("ISO-8859-1")
+    assert(Pdf.extractText(junk) != null)
+    val lx = new Pdf.Lexer("1.2.3 /A#4Z /B#41".getBytes("ISO-8859-1"))
+    assert(lx.token().isInstanceOf[Pdf.TErr])
+    val Pdf.TName(n1) = lx.token(): @unchecked
+    assert(n1 == "A#4Z") // invalid second digit: literal '#' kept
+    val Pdf.TName(n2) = lx.token(): @unchecked
+    assert(n2 == "BA") // valid escape #41 = 'A'
+  }
+
   test("garbage and truncated input never throw, errors are data") {
     val rng = new scala.util.Random(7)
     for (_ <- 1 to 100) {

@@ -463,6 +463,32 @@ class FixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("F22e SHORTREF: mid-document USEMAP sees a current line-start flag") {
+    // regression: the &#RS; anchor used a stale srLineStart when the map
+    // activated after text had already been processed with no map active
+    val doc =
+      """<!DOCTYPE d [
+        |<!ELEMENT d - - (#PCDATA)>
+        |<!ENTITY mk "#">
+        |<!SHORTREF m "&#RS;-" mk>
+        |]>
+        |<d>x<!USEMAP m>-a
+        |-b</d>""".stripMargin
+    val c = cfg(Dialect.Sgml, SpaceMode.Preserve)
+    val r = SgmlParser.parse(doc, c)
+    // "-a" is mid-line (after "x") → NOT substituted; "-b" is at a line
+    // start → substituted
+    assert(r.spans(c).map(_.text).mkString == "x-a\n#b")
+  }
+
+  test("non-ASCII name folding survives the interning table") {
+    val c = cfg(Dialect.Sgml, SpaceMode.Preserve)
+    val r = SgmlParser.parse("<ÜBER>x</über>", c)
+    val e = r.content.collectFirst { case el: Node.Elem => el }.get
+    assert(e.name == "über")
+    assert(!r.errors.exists(_.code == "unclosed-element"), r.errors)
+  }
+
   test("F23 omission repair: p/p, dl lists, select options, thead/tbody") {
     val c = cfg(Dialect.Html4, SpaceMode.SgmlMode)
     def elems(e: Node.Elem): Vector[String] =
