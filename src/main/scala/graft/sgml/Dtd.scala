@@ -236,8 +236,10 @@ final class Dfa private[sgml] (
 object Dfa {
   import Model._
 
-  /** All element names mentioned in a model. */
-  def symbols(m: Model): Set[String] = m match {
+  /** All element names mentioned in a model. (RefP positions exist only
+    * inside compile(), after these helpers run — the @unchecked matches
+    * record that invariant instead of warning.) */
+  def symbols(m: Model): Set[String] = (m: @unchecked) match {
     case PcData   => Set.empty
     case Ref(n)   => Set(n)
     case MSeq(ms) => ms.flatMap(symbols).toSet
@@ -248,7 +250,7 @@ object Dfa {
     case Plus(x)  => symbols(x)
   }
 
-  def hasPcData(m: Model): Boolean = m match {
+  def hasPcData(m: Model): Boolean = (m: @unchecked) match {
     case PcData   => true
     case Ref(_)   => false
     case MSeq(ms) => ms.exists(hasPcData)
@@ -265,7 +267,7 @@ object Dfa {
     * `&`-groups normalize to `(a|b|…)*`; #PCDATA leaves are dropped (text
     * admission is checked via `ElementDef.mixed`). */
   def compile(model: Model): Dfa = {
-    def norm(m: Model): Option[Model] = m match {
+    def norm(m: Model): Option[Model] = (m: @unchecked) match {
       case PcData  => None
       case r: Ref  => Some(r)
       case MSeq(ms) =>
