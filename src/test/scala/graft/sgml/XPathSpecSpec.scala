@@ -53,6 +53,15 @@ class XPathSpecSpec extends AnyFunSuite {
     assert(q("<d><t>  a   b </t></d>", "//t/text(normalize_space)") == Vector("a b"))
   }
 
+  test("contains(@attr, v) and contains(text, v) conditions (Q8)") {
+    assert(q(doc, "//p(contains(@n, 'apple'))/@id") == Vector("p1"))
+    assert(q(doc, "//p(contains(text, 'wo'))/@id") == Vector("p2"))
+    assert(q(doc, "//tr(contains(text, 'c'))/td(2)/text") == Vector("d"))
+    assert(q(doc, "//p(contains(@n, 'pear'))/@id") == Vector())
+    // composes with positional filters: condition first, then index
+    assert(q(doc, "//td(contains(text, 'a'), 1)/text") == Vector("a"))
+  }
+
   test("first = xpath_chk: first solution in document order") {
     val r = SgmlParser.parse(doc, cfg)
     val p = XPathSpec.parse("//td/text").toOption.get
