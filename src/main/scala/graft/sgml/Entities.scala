@@ -127,10 +127,13 @@ object Entities {
     var i = 0
     while (i < s.length) {
       s.charAt(i) match {
-        case '&' => sb.append("&amp;")
-        case '<' => sb.append("&lt;")
-        case '>' => sb.append("&gt;")
-        case c   => sb.append(c)
+        case '&'  => sb.append("&amp;")
+        case '<'  => sb.append("&lt;")
+        case '>'  => sb.append("&gt;")
+        // a literal CR in a text node can only come from `&#13;`; emitted
+        // raw it would re-parse as LF (§2.11), so escape it (c14n §2.3)
+        case '\r' => sb.append("&#13;")
+        case c    => sb.append(c)
       }
       i += 1
     }
@@ -148,6 +151,7 @@ object Entities {
         case '"'  => sb.append("&quot;")
         case '\n' => sb.append("&#10;")
         case '\t' => sb.append("&#9;")
+        case '\r' => sb.append("&#13;")
         case c    => sb.append(c)
       }
       i += 1

@@ -57,6 +57,7 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
   private val msKw = new java.lang.StringBuilder(16)
   private var msDepth = 0
   private var netDepth = 0     // open NET-enabled elements (SGML only)
+  private var pendingCr = false // last source char was CR (§2.11 CRLF fold)
   private var msIgnoreDepth = 0
 
   // raw content: CDATA sections + declared CDATA/RCDATA elements (T9/T11)
@@ -97,7 +98,7 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
     rawBuf.setLength(0); rawStart = 0; rawIsCdata = true; rawEndTag = ""
     etBuf.setLength(0); rawLtPos = 0
     entBuf.setLength(0); entStart = 0; entReturn = S_TEXT; injectDepth = 0
-    srBusy = false; srLineStart = true
+    srBusy = false; srLineStart = true; pendingCr = false
   }
 
   // Bulk fast path for the two states that dominate real documents:
@@ -118,15 +119,15 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
     var i = 0
     val n = s.length
     while (i < n) {
-      if (state == S_TEXT && !log.overflowed && !frozen) {
+      if (state == S_TEXT && !log.overflowed && !frozen && !pendingCr) {
         val msActive = msDepth > 0
         val netActive = netDepth > 0
         var j = i
         var break = false
         while (j < n && !break) {
           val cc = s.charAt(j)
-          if (cc == '<' || cc == '&' || (msActive && cc == ']') ||
-              (netActive && cc == '/')) break = true
+          if (cc == '<' || cc == '&' || cc == '\r' ||
+              (msActive && cc == ']') || (netActive && cc == '/')) break = true
           else j += 1
         }
         if (j > i) {
@@ -136,14 +137,14 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
           i = j
         }
         if (i < n) { push(s.charAt(i)); i += 1 }
-      } else if (state == S_RAW && !log.overflowed && !frozen) {
+      } else if (state == S_RAW && !log.overflowed && !frozen && !pendingCr) {
         val rcdata = !rawIsCdata
         var j = i
         var break = false
         while (j < n && !break) {
           val cc = s.charAt(j)
           // RCDATA ('title') also stops at '&' (entity expansion)
-          if (cc == '<' || (rcdata && cc == '&')) break = true
+          if (cc == '<' || cc == '\r' || (rcdata && cc == '&')) break = true
           else j += 1
         }
         if (j > i) {
@@ -162,15 +163,15 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
   def feedArr(a: Array[Char], n: Int): Unit = {
     var i = 0
     while (i < n) {
-      if (state == S_TEXT && !log.overflowed && !frozen) {
+      if (state == S_TEXT && !log.overflowed && !frozen && !pendingCr) {
         val msActive = msDepth > 0
         val netActive = netDepth > 0
         var j = i
         var break = false
         while (j < n && !break) {
           val cc = a(j)
-          if (cc == '<' || cc == '&' || (msActive && cc == ']') ||
-              (netActive && cc == '/')) break = true
+          if (cc == '<' || cc == '&' || cc == '\r' ||
+              (msActive && cc == ']') || (netActive && cc == '/')) break = true
           else j += 1
         }
         if (j > i) {
@@ -180,13 +181,13 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
           i = j
         }
         if (i < n) { push(a(i)); i += 1 }
-      } else if (state == S_RAW && !log.overflowed && !frozen) {
+      } else if (state == S_RAW && !log.overflowed && !frozen && !pendingCr) {
         val rcdata = !rawIsCdata
         var j = i
         var break = false
         while (j < n && !break) {
           val cc = a(j)
-          if (cc == '<' || (rcdata && cc == '&')) break = true
+          if (cc == '<' || cc == '\r' || (rcdata && cc == '&')) break = true
           else j += 1
         }
         if (j > i) {
@@ -235,7 +236,18 @@ final class Tokenizer(cfg: ParserConfig, holder: DtdHolder, sink: Event => Unit,
 
   private def push(c: Char): Unit = {
     if (log.overflowed) { if (!frozen) pos += 1; return }
-    step(c)
+    // Line-ending normalization (XML 1.0 §2.11; the SGML RE and HTML5
+    // analogues agree): source CRLF / bare CR reach the state machine as a
+    // single LF, while `pos` keeps counting SOURCE chars so span offsets
+    // stay source-anchored. Entity replacement text bypasses push()
+    // (inject() calls step() directly), so `&#13;` still yields a literal
+    // CR — §2.11 normalizes the input, not references.
+    if (pendingCr) {
+      pendingCr = false
+      if (c == '\n') { if (!frozen) pos += 1; return } // LF of a CRLF pair
+    }
+    if (c == '\r') { pendingCr = true; step('\n') }
+    else step(c)
     if (!frozen) pos += 1
   }
 

@@ -22,7 +22,8 @@ class ChunkFuzzSpec extends AnyFunSuite {
     "<title>t&amp;t</title>", "<textarea>r&lt;c</textarea>",
     "</>", "</nope>", "<a<b>", "<a b=>", "<a b='v'", "]]>", "]]", "/",
     "<!DOCTYPE d [<!ENTITY e \"ee\">]>", "&e;", "<em>t</em>",
-    "<table><tr><td>c</table>", "\n", "  ", "é中☃")
+    "<table><tr><td>c</table>", "\n", "  ", "é中☃",
+    "\r\n", "\r", "a\rb", "<pre>x\r\ny</pre>", "&#13;")
 
   private def randomDoc(rng: scala.util.Random): String = {
     val n = 1 + rng.nextInt(12)
