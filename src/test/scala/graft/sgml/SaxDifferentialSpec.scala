@@ -165,6 +165,107 @@ class SaxDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  // ---- namespace mode (D7) vs SAX namespace-aware parsing -------------
+  private final class SaxNsCanon extends DefaultHandler {
+    val out = new StringBuilder
+    private val text = new StringBuilder
+    private val XmlNs = "http://www.w3.org/XML/1998/namespace"
+    private def nm(uri: String, local: String, qName: String): String =
+      if (uri == null || uri.isEmpty) (if (local != null && local.nonEmpty) local else qName)
+      else if (uri == XmlNs) "xml:" + local
+      else s"{$uri}$local"
+    private def flush(): Unit =
+      if (text.nonEmpty) { out.append("T(").append(text).append(')'); text.clear() }
+    override def startElement(uri: String, local: String, qName: String, atts: Attributes): Unit = {
+      flush()
+      out.append('<').append(nm(uri, local, qName))
+      (0 until atts.getLength)
+        .map(i => (nm(atts.getURI(i), atts.getLocalName(i), atts.getQName(i)), atts.getValue(i)))
+        .sortBy(_._1)
+        .foreach { case (k, v) => out.append(' ').append(k).append('=').append('"').append(v).append('"') }
+      out.append('>')
+    }
+    override def endElement(uri: String, local: String, qName: String): Unit = {
+      flush(); out.append("</").append(nm(uri, local, qName)).append('>')
+    }
+    override def characters(ch: Array[Char], start: Int, len: Int): Unit =
+      text.appendAll(ch, start, len)
+    def result: String = { flush(); out.toString }
+  }
+
+  private def saxCanonicalNs(doc: String): String = {
+    val f = SAXParserFactory.newInstance()
+    f.setNamespaceAware(true)
+    f.setValidating(false)
+    val h = new SaxNsCanon
+    f.newSAXParser().parse(
+      new ByteArrayInputStream(doc.getBytes(StandardCharsets.UTF_8)), h)
+    h.result
+  }
+
+  private def ourCanonicalNs(doc: String): (String, Vector[ParseErr]) = {
+    val cfg = ParserConfig(dialect = Dialect.Xmlns, space = SpaceMode.Preserve)
+    val r = SgmlParser.parse(doc, cfg)
+    val out = new StringBuilder
+    val text = new StringBuilder
+    def flush(): Unit =
+      if (text.nonEmpty) { out.append("T(").append(text).append(')'); text.clear() }
+    def walk(ns: Seq[Node]): Unit = ns.foreach {
+      case Node.Text(s, _, _) => text.append(s)
+      case Node.Elem(n, attrs, kids, _) =>
+        flush()
+        out.append('<').append(n)
+        attrs
+          .filterNot(a => a.name == "xmlns" || a.name.startsWith("xmlns:"))
+          .sortBy(_.name)
+          .foreach(a => out.append(' ').append(a.name).append('=').append('"').append(a.value.render).append('"'))
+        out.append('>')
+        walk(kids)
+        flush()
+        out.append("</").append(n).append('>')
+      case _ => ()
+    }
+    walk(r.content)
+    flush()
+    (out.toString, r.errors)
+  }
+
+  test("namespace mode ≡ SAX namespace-aware: scoping, defaults, overrides, xml:") {
+    // our representation: elements (and prefixed attrs) as {uri}local,
+    // xmlns declarations retained as plain attrs (filtered above on both
+    // sides), unprefixed attrs NOT in the default namespace (per spec)
+    val rng = new scala.util.Random(7151623)
+    val uris = Vector("urn:a", "urn:b", "http://x.example/ns", "")
+    def genNs(depth: Int, declared: Set[String]): String = {
+      if (depth <= 0 || rng.nextInt(3) == 0)
+        return textFrags(rng.nextInt(5)) // plain text only (entities need a DTD)
+      val name = names(rng.nextInt(names.length))
+      val declP = rng.nextInt(4) == 0
+      val newPrefix = "p" + rng.nextInt(3)
+      val decls = new StringBuilder
+      var scope = declared
+      if (declP) { decls.append(s""" xmlns:$newPrefix="${uris(rng.nextInt(3))}""""); scope += newPrefix }
+      if (rng.nextInt(4) == 0) decls.append(s""" xmlns="${uris(rng.nextInt(uris.length))}"""")
+      val prefix =
+        if (scope.nonEmpty && rng.nextInt(3) == 0) scope.toSeq.sorted(Ordering.String)(rng.nextInt(scope.size)) + ":"
+        else ""
+      val attrs = new StringBuilder
+      if (rng.nextInt(3) == 0) attrs.append(s""" at$depth="v$depth"""")
+      if (scope.nonEmpty && rng.nextInt(4) == 0)
+        attrs.append(s""" ${scope.head}:qat="qv"""")
+      if (rng.nextInt(6) == 0) attrs.append(""" xml:lang="en"""")
+      val kids = (0 until rng.nextInt(4)).map(_ => genNs(depth - 1, scope)).mkString
+      s"<$prefix$name$decls$attrs>$kids</$prefix$name>"
+    }
+    for (i <- 1 to 300) {
+      val doc = s"""<root xmlns:p0="urn:root0">${genNs(4, Set("p0"))}</root>"""
+      val expected = saxCanonicalNs(doc)
+      val (got, errs) = ourCanonicalNs(doc)
+      assert(errs.isEmpty, s"doc #$i errors: $errs\n$doc")
+      assert(got == expected, s"doc #$i ns mismatch\n--- doc ---\n$doc\n--- sax ---\n$expected\n--- ours ---\n$got")
+    }
+  }
+
   test("writer round-trip through SAX: serialize(tree) re-parses to the same events") {
     // Independent oracle for W1/W5: our canonical XML writer's output, read
     // back by Xerces, must describe exactly the tree we serialized.
