@@ -323,6 +323,44 @@ class SaxDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("byte layer ≡ SAX: BOM sniffing and <?xml encoding=…?> on raw bytes") {
+    // S2 independently checked: hand both engines the same BYTES and
+    // require the same decoded events. Covers UTF-8 (bare + BOM),
+    // UTF-16LE/BE with BOM, and a declared single-byte encoding.
+    val body = "<r a=\"é\">déjà vu — ☃<i>中文</i>&#x1F600;</r>"
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "utf8-bare" -> body.getBytes(StandardCharsets.UTF_8),
+      "utf8-bom" -> (Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ body.getBytes(StandardCharsets.UTF_8)),
+      "utf16be-bom" -> ("\uFEFF" + body).getBytes(StandardCharsets.UTF_16BE),
+      "utf16le-bom" -> ("\uFEFF" + body).getBytes(StandardCharsets.UTF_16LE),
+      "latin1-declared" ->
+        ("<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?><r>déjà ±</r>")
+          .getBytes(StandardCharsets.ISO_8859_1))
+    cases.foreach { case (label, bytes) =>
+      val f = SAXParserFactory.newInstance()
+      f.setNamespaceAware(false)
+      val h = new SaxCanon
+      f.newSAXParser().parse(new ByteArrayInputStream(bytes), h)
+      val expected = h.result
+      val cfg = ParserConfig(dialect = Dialect.Xml, space = SpaceMode.Preserve)
+      val r = SgmlParser.parseBytes(bytes, cfg)
+      assert(r.errors.isEmpty, s"[$label] errors: ${r.errors}")
+      val out = new StringBuilder; val text = new StringBuilder
+      def flush(): Unit = if (text.nonEmpty) { out.append("T(").append(text).append(')'); text.clear() }
+      def walk(ns: Seq[Node]): Unit = ns.foreach {
+        case Node.Text(s, _, _) => text.append(s)
+        case Node.Elem(n, attrs, kids, _) =>
+          flush(); out.append('<').append(n)
+          attrs.sortBy(_.name).foreach(a =>
+            out.append(' ').append(a.name).append('=').append('"').append(a.value.render).append('"'))
+          out.append('>'); walk(kids); flush(); out.append("</").append(n).append('>')
+        case _ => ()
+      }
+      walk(r.content); flush()
+      assert(out.toString == expected, s"[$label] decode mismatch\nsax:  $expected\nours: ${out.toString}")
+    }
+  }
+
   test("XML 1.0 §2.11 line-ending normalization: CRLF and bare CR become LF") {
     val docs = Seq(
       "<r>a\r\nb</r>",
