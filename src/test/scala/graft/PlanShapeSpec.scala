@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Scale-shape regression gate over EVERY `SparkEntry.queries` plan.
+  *
+  * The invariants that make a query survive a 100× scale-up are physical-plan
+  * properties, not result properties: no cartesian product anywhere, a
+  * broadcast nested-loop join only where it is the documented brute-force
+  * baseline (e1), and a pinned number of shuffle exchanges. This spec pins
+  * the measured plan shape of all 43 queries at sf0.001 (AQE off, so
+  * `EnsureRequirements` materializes every exchange in `executedPlan`); any
+  * future edit that silently degrades a bucketed equi-join into an all-pairs
+  * join, or adds an unintended exchange, fails HERE — loudly, before a
+  * benchmark ever notices.
+  *
+  * Caveat (documented, accepted): exchanges inside a cached subtree
+  * (`InMemoryTableScan`, e.g. p1_curate's persisted parse) are not visible to
+  * `plan.collect`; the pinned count is the top-level plan's. The cartesian /
+  * BNLJ scan still sees every operator that ends up in THIS plan tree.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private var aqeWas: Option[String] = None
+
+  override def beforeAll(): Unit = {
+    aqeWas = try Some(spark.conf.get("spark.sql.adaptive.enabled")) catch { case _: Throwable => None }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+
+  override def afterAll(): Unit = {
+    aqeWas.foreach(v => spark.conf.set("spark.sql.adaptive.enabled", v))
+    if (spark != null) spark.stop()
+  }
+
+  /** Expected shuffle-exchange count per query (measured on the round-2
+    * tree, Spark 4.1.2, sf0.001, AQE off). Queries absent from this map are
+    * map-only: ZERO exchanges — the parse/extract family must stay
+    * single-stage. Update a pin only with a deliberate plan change. */
+  private val expectedShuffles: Map[String, Int] = Map(
+    "d1_dedup_exact"        -> 1, // single hash agg (map-side partials)
+    "d3_minhash_pairs"      -> 2, // band explode agg + in-bucket verify
+    "d5_simhash_pairs"      -> 2,
+    "e1_knn_exact"          -> 1, // window rank after the broadcast NLJ
+    "e2_knn_lsh"            -> 2,
+    "e3_embedding_neardup"  -> 1,
+    "e4_knn_ivf"            -> 1,
+    "e5_ann_recall"         -> 5, // union of three knn legs + recall agg
+    "p1_curate"             -> 4, // quality→exact-dedup→fuzzy→lang-id stages
+    "q1_lineitem_agg"       -> 1,
+    "q2_join_agg"           -> 1, // dims broadcast; one agg exchange
+    "q3_window_first_event" -> 1,
+    "q4_topk_revenue"       -> 1,
+    "q5_no_order_customers" -> 1,
+    "q8_distinct_suppliers" -> 2, // distinct + final agg
+    "xq2_xpath_descendant"  -> 1,
+    "xq3_xpath_positional"  -> 1,
+    "xq4_xpath_window"      -> 1,
+    "xq5_xpath_spec_interp" -> 1,
+    "xq6_pwp_template"      -> 1)
+
+  /** The deliberate brute-force baseline: e1 is SUPPOSED to be a broadcast
+    * nested-loop join (queries broadcast, scan once) — and must never
+    * degrade further, into a cartesian. */
+  private val allowedBnlj: Map[String, Int] = Map("e1_knn_exact" -> 1)
+
+  test("every query plan: no cartesian, BNLJ only in e1, pinned shuffle count") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan
+      val ops = plan.collect { case p => p.getClass.getSimpleName }
+      val shuffles = ops.count(_ == "ShuffleExchangeExec")
+      val cart = ops.count(_ == "CartesianProductExec")
+      val bnlj = ops.count(_ == "BroadcastNestedLoopJoinExec")
+      val expS = expectedShuffles.getOrElse(name, 0)
+      val expB = allowedBnlj.getOrElse(name, 0)
+      val errs = Seq(
+        if (cart != 0) Some(s"$name: $cart CartesianProduct (all-pairs join!)") else None,
+        if (bnlj != expB) Some(s"$name: $bnlj BroadcastNestedLoopJoin (expected $expB)") else None,
+        if (shuffles != expS) Some(s"$name: $shuffles shuffle exchanges (pinned $expS)") else None)
+      errs.flatten
+    }
+    assert(failures.isEmpty, failures.mkString("\n  ", "\n  ", "\n"))
+  }
+
+  test("flagship extract leg is a single stage: zero exchanges of any kind") {
+    val docs = SgmlExtract.extract(
+      SgmlExtract.wrapDocuments(spark, sf),
+      SgmlExtract.Config(dialect = "html4", space = "preserve"))
+    val ops = docs.queryExecution.executedPlan.collect { case p => p.getClass.getSimpleName }
+    assert(!ops.exists(_.contains("Exchange")), ops.mkString(", "))
+  }
+}
