@@ -100,6 +100,17 @@ object SparkEntry {
           col("n_errors").cast("long").as("n_errors"))
     }),
 
+    "x9_lineage_totals" -> ((s, dir) => {
+      // north-rule "per-partition lineage + metrics", promoted into the
+      // oracle gate: per-partition rows can't be replayed in SQL (partition
+      // ids are Spark-internal), but their GLOBAL totals are closed-form on
+      // the marked wrapper (3 spans/doc, bytes = doc text + tail text)
+      val ext = extractPreserve(s, dir, marked = true)
+      SgmlExtract.lineage(ext, "verify").agg(
+        sum(col("docs")).as("docs"), sum(col("bytes")).as("bytes"),
+        sum(col("spans")).as("spans"), sum(col("errors")).as("errors"))
+    }),
+
     "x5_serialize_roundtrip" -> ((s, dir) => {
       // W1/W5: parse + canonical re-serialization; the DuckDB oracle
       // reconstructs the exact expected markup (incl. the implied <head>
@@ -632,6 +643,11 @@ object SparkEntry {
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
         | CAST(1 AS BIGINT) AS n_pages, CAST(0 AS BIGINT) AS n_errors
         |FROM documents""".stripMargin,
+    "x9_lineage_totals" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+        | CAST(SUM(LENGTH(text)) + COUNT(*) * ${SgmlExtract.MarkedTailText.length} AS BIGINT) AS bytes,
+        | CAST(3 * COUNT(*) AS BIGINT) AS spans,
+        | CAST(0 AS BIGINT) AS errors FROM documents""".stripMargin,
     "x7_shortref" ->
       s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
         | replace(text, '${SgmlExtract.ShortrefDelim}', '${SgmlExtract.ShortrefMarker}') AS text,
