@@ -217,7 +217,28 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     while (guard > 0) {
       guard -= 1
       val f = top
-      if (f.edef.isEmpty || accepts(f, local)) return
+      if (f.edef.isEmpty) {
+        // Virtual document frame (or an undeclared element): upstream
+        // OMITTAG inference starts at the DOCTYPE root, so `<p>…` with the
+        // HTML DTD materializes the full `<html><head></head><body>` chain
+        // (`parser.c` — omitted start-tag inference from the doctype [V];
+        // differential oracle: HtmlOmissionDifferentialSpec vs the JDK's
+        // DTD-driven Swing parser). Implied only for the FIRST root-level
+        // element — content after the root closed (epilog) must not spawn
+        // a second chain — and only when the declared root is omissible
+        // and not the element itself; the loop then repairs downward.
+        if (stack.size == 1) {
+          val rootName = holder.dtd.doctype.orNull
+          val implyRoot = rootName != null && rootName != local &&
+            holder.dtd.element(rootName).exists(_.omitStart) &&
+            !f.children.exists(_.isInstanceOf[Node.Elem])
+          if (!implyRoot) return
+          impliedOpen(rootName, off)
+          // restart the loop: repair continues against the implied root
+        } else return
+      }
+      else if (accepts(f, local)) return
+      else {
       // (a) implied open: an enabled child with omitted start tag that can
       //     contain `local` (e.g. <table><tr> → insert <tbody>). Search is
       //     inverted for speed: iterate the DTD's few omit-start elements
@@ -267,6 +288,7 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
             return // accept in place (lenient)
           }
         }
+      }
       }
     }
   }

@@ -21,6 +21,20 @@ class FixtureSpec extends AnyFunSuite {
     assert(offs.distinct == offs, s"offsets not strictly increasing: $offs")
   }
 
+  /** HTML fragments now imply the full DOCTYPE chain (html→head→body, like
+    * upstream OMITTAG inference): descend to the first element inside the
+    * implied body so fixtures assert on the fragment they wrote. */
+  private def bodyFirst(r: ParseResult): Node.Elem = {
+    val root = r.content.collectFirst { case e: Node.Elem => e }.get
+    if (root.name != "html") root
+    else {
+      val body = root.children.collectFirst {
+        case e: Node.Elem if e.name == "body" => e
+      }.get
+      body.children.collectFirst { case e: Node.Elem => e }.get
+    }
+  }
+
   test("F1 xml-basic") {
     val (spans, errs) = SgmlParser.spans("<doc><a>hello</a> <b>world</b></doc>",
       cfg(Dialect.Xml))
@@ -56,8 +70,8 @@ class FixtureSpec extends AnyFunSuite {
       cfg(Dialect.Html4, SpaceMode.SgmlMode))
     assert(kts(r.spans(cfg(Dialect.Html4))) == Vector(
       ("text", "one", null), ("text", "two", null)))
-    // tree shape: ul/[li[one], li[two]]
-    val ul = r.content.collectFirst { case e: Node.Elem => e }.get
+    // tree shape: (implied html/body)/ul/[li[one], li[two]]
+    val ul = bodyFirst(r)
     assert(ul.name == "ul")
     val lis = ul.children.collect { case e: Node.Elem => e }
     assert(lis.map(_.name) == Vector("li", "li"))
@@ -68,7 +82,7 @@ class FixtureSpec extends AnyFunSuite {
   test("F5b html-omission: table auto-inserts tbody") {
     val r = SgmlParser.parse("<table><tr><td>x</table>",
       cfg(Dialect.Html4, SpaceMode.SgmlMode))
-    val table = r.content.collectFirst { case e: Node.Elem => e }.get
+    val table = bodyFirst(r)
     assert(table.name == "table")
     val tbody = table.children.collect { case e: Node.Elem => e }
     assert(tbody.map(_.name) == Vector("tbody"))
@@ -369,7 +383,7 @@ class FixtureSpec extends AnyFunSuite {
   test("F17 minimized attribute (<option selected>) keeps name-only attr") {
     val r = SgmlParser.parse("<select><option selected>x</option></select>",
       cfg(Dialect.Html4))
-    val sel = r.content.collectFirst { case e: Node.Elem => e }.get
+    val sel = bodyFirst(r)
     val opt = sel.children.collectFirst { case e: Node.Elem => e }.get
     // SGML minimization: bare NAME is the attr (reference maps it to
     // name=name per HTML semantics, value render non-null)
@@ -385,7 +399,7 @@ class FixtureSpec extends AnyFunSuite {
   test("F19 SGML null end tag </> closes the current element") {
     val r = SgmlParser.parse("<ul><li>one</><li>two</></ul>",
       cfg(Dialect.Html4, SpaceMode.SgmlMode))
-    val ul = r.content.collectFirst { case e: Node.Elem => e }.get
+    val ul = bodyFirst(r)
     assert(ul.children.collect { case e: Node.Elem => e.name } == Vector("li", "li"))
     assert(r.spans(cfg(Dialect.Html4)).map(_.text) == Vector("one", "two"))
   }
@@ -493,8 +507,7 @@ class FixtureSpec extends AnyFunSuite {
     val c = cfg(Dialect.Html4, SpaceMode.SgmlMode)
     def elems(e: Node.Elem): Vector[String] =
       e.children.collect { case x: Node.Elem => x.name }.toVector
-    def root(doc: String): Node.Elem =
-      SgmlParser.parse(doc, c).content.collectFirst { case e: Node.Elem => e }.get
+    def root(doc: String): Node.Elem = bodyFirst(SgmlParser.parse(doc, c))
 
     // p omit-end: a second <p> closes the first, it does not nest
     val d1 = root("<div><p>one<p>two</div>")
