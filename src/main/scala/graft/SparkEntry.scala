@@ -199,6 +199,22 @@ object SparkEntry {
           count(lit(1)).as("n_lineitems"))
     }),
 
+    "q9_rollup" -> ((s, dir) => {
+      // grouping-sets surface (§2.7): ROLLUP expands to grouping sets via
+      // a single Expand + two-phase hash agg — one shuffle regardless of
+      // the number of sets. Group keys coalesced to a sentinel so the
+      // output carries no nulls (null sort order differs across engines).
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"))
+    }),
+
     "q7_xsd_types" -> ((s, dir) => {
       // xsdp_types surface (SURVEY.md §2.6): lexical validation +
       // graceful typed conversion, all codegen'd (rlike + cast, no UDF)
@@ -277,6 +293,11 @@ object SparkEntry {
     "t5_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(s, dir).select(col("doc_id"),
         col("fingerprint")(0).as("fp_min"), size(col("fingerprint")).as("fp_len"))),
+    "t7_pii_scrub" -> ((s, dir) => TextOps.piiScrub(s, dir)),
+
+    // ---- deterministic sampling (restart-stable corpus downsampling) ------
+    "s1_stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
+    "s2_uniform_sample" -> ((s, dir) => Sampling.uniformSample(s, dir)),
 
     // ---- embedding similarity --------------------------------------------
     "e1_knn_exact" -> ((s, dir) =>
@@ -698,6 +719,46 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn,
         |  COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt FROM nation) t
         |GROUP BY n_regionkey""".stripMargin,
+    "q9_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        | COALESCE(l_linestatus, 'ALL') AS lstatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "t7_pii_scrub" -> {
+      import TextOps.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END ||
+        |    ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 10.' || (doc_id % 256) || '.' || ((doc_id // 256) % 256) ||
+        |    '.' || ((doc_id // 65536) % 256) AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+        |    '$EmailRe', '[EMAIL]', 'g'), '$Ipv4Re', '[IP]', 'g'),
+        |    '$PhoneRe', '[PHONE]', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii_text, '$PhoneRe')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(pii_text, '$Ipv4Re')) AS BIGINT) AS n_ips
+        |FROM p""".stripMargin
+    },
+    "s1_stratified_sample" ->
+      s"""SELECT doc_id, source,
+        |  ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})
+        |    % ${ops.Sampling.HashP} % 1000 AS bucket,
+        |  CAST(100 + (CAST(substr(source, 4) AS BIGINT) % 5) * 200 AS BIGINT)
+        |    AS rate_permille
+        |FROM documents
+        |WHERE ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})
+        |    % ${ops.Sampling.HashP} % 1000
+        |  < 100 + (CAST(substr(source, 4) AS BIGINT) % 5) * 200""".stripMargin,
+    "s2_uniform_sample" ->
+      s"""SELECT doc_id,
+        |  ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})
+        |    % ${ops.Sampling.HashP} % 1000 AS h
+        |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin,
     "q8_distinct_suppliers" ->
       """SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers,
         | COUNT(*) AS n_lineitems

@@ -97,6 +97,51 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("predicted_lang"),
         (col("lang") === col("predicted_lang")).as("agree"))
 
+  // ---- PII scrubbing -----------------------------------------------------
+  // RE2-safe patterns (no lookarounds, no backrefs): the SAME strings are
+  // interpolated into the DuckDB oracle, so Java regex (Spark codegen'd
+  // regexp_replace/regexp_count) and RE2 (DuckDB) must agree — they do on
+  // this character-class-only subset.
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe: String = "\\+[0-9][0-9-]{6,}[0-9]"
+
+  /** Redact emails, IPv4 addresses and international phone numbers from
+    * `textCol`, appending match counts. Order matters and is fixed:
+    * emails first (they contain digits and dots), then IPs (dotted
+    * digits), then phones (digits/dashes only — cannot overlap the other
+    * two's residue). Pure built-ins → narrow, whole-stage codegen, no
+    * shuffle: the shape of a 100 TB scrub pass. */
+  def withPiiScrub(d: DataFrame, textCol: String = "text"): DataFrame =
+    d.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+            Ipv4Re, "[IP]"),
+          PhoneRe, "[PHONE]"))
+
+  /** The t7 query: the corpus text is synthetic words (no real PII), so a
+    * deterministic PII suffix is synthesized from doc_id — same closed-form
+    * trick as the markup wrappers — and the oracle rebuilds suffix, counts
+    * and redacted text from scratch in SQL. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val pii = d.withColumn("pii_text", concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(" cc admin@example.org")).otherwise(lit("")),
+      lit(" call +1-555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(256)),
+      lit("."), pmod(expr("doc_id div 256"), lit(256)),
+      lit("."), pmod(expr("doc_id div 65536"), lit(256))))
+    withPiiScrub(pii, "pii_text")
+      .select(col("doc_id"), col("scrubbed"),
+        col("n_emails"), col("n_phones"), col("n_ips"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): Rabin-Karp over
     * code-point 16-grams with base-31 mod-P arithmetic (P prime > 2^32 —
     * no native overflow wrap, so the exact same values are computable in

@@ -68,6 +68,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q4_topk_revenue"       -> 1,
     "q5_no_order_customers" -> 1,
     "q8_distinct_suppliers" -> 2, // distinct + final agg
+    "q9_rollup"             -> 1, // Expand + two-phase hash agg
     "x9_lineage_totals"     -> 2, // per-partition groupBy + global totals
     "xq2_xpath_descendant"  -> 1,
     "xq3_xpath_positional"  -> 1,
