@@ -25,11 +25,24 @@ import java.io.StringReader
 class HtmlOmissionDifferentialSpec extends AnyFunSuite {
 
   // ---- Swing canonical -------------------------------------------------
+  /** Attribute normalization: Swing tags implied elements with a
+    * `_implied_` pseudo-attribute (filtered), and reports only SPECIFIED
+    * attributes — its callback API never surfaces DTD defaults. */
   private def swingCanonical(doc: String): String = {
     val sb = new StringBuilder
     val cb = new HTMLEditorKit.ParserCallback {
-      override def handleStartTag(t: HTML.Tag, a: MutableAttributeSet, pos: Int): Unit =
-        sb.append('<').append(t).append('>')
+      override def handleStartTag(t: HTML.Tag, a: MutableAttributeSet, pos: Int): Unit = {
+        sb.append('<').append(t)
+        val e = a.getAttributeNames
+        val kvs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (e.hasMoreElements) {
+          val k = e.nextElement()
+          kvs += ((k.toString, a.getAttribute(k).toString))
+        }
+        kvs.filter(_._1 != "_implied_").sortBy(_._1)
+          .foreach { case (k, v) => sb.append(' ').append(k).append('=').append(v) }
+        sb.append('>')
+      }
       override def handleEndTag(t: HTML.Tag, pos: Int): Unit =
         sb.append("</").append(t).append('>')
       override def handleSimpleTag(t: HTML.Tag, a: MutableAttributeSet, pos: Int): Unit =
@@ -52,13 +65,22 @@ class HtmlOmissionDifferentialSpec extends AnyFunSuite {
     val cfg = ParserConfig(dialect = Dialect.Html4, space = SpaceMode.Preserve)
     val r = SgmlParser.parse(doc, cfg)
     val sb = new StringBuilder
+    // Our HTML 4.01 attlists MATERIALIZE DTD defaults (td/th get
+    // rowspan=1 colspan=1 — upstream add_default_attributes semantics);
+    // Swing's callback only surfaces specified attrs, so the known
+    // defaults are filtered from OUR canonical. The generator never
+    // writes span=1 explicitly, so no specified attr is hidden.
+    def attrStr(attrs: Seq[Attr]): String =
+      attrs.filterNot(a =>
+          (a.name == "rowspan" || a.name == "colspan") && a.value.render == "1")
+        .sortBy(_.name).map(a => s" ${a.name}=${a.value.render}").mkString
     def walk(ns: Seq[Node]): Unit = ns.foreach {
       case Node.Text(s, _, _) => sb.append("T(").append(s).append(')')
       case Node.Elem("tbody", _, kids, _) => walk(kids)
-      case Node.Elem(n, _, kids, _) =>
+      case Node.Elem(n, attrs, kids, _) =>
         if (kids.isEmpty && Set("br", "hr", "img")(n)) sb.append('<').append(n).append("/>")
         else {
-          sb.append('<').append(n).append('>')
+          sb.append('<').append(n).append(attrStr(attrs)).append('>')
           walk(kids)
           sb.append("</").append(n).append('>')
         }
@@ -85,6 +107,17 @@ class HtmlOmissionDifferentialSpec extends AnyFunSuite {
       .zipWithIndex.foreach { case (d, i) => check(d, s"probe #$i") }
   }
 
+  test("attribute + entity probes ≡ Swing (shared HTML3.2/4.01 vocabulary)") {
+    Seq(
+      """<html><body><p align="center">x</p></body></html>""",
+      """<html><body><table><tr><td colspan=2 align=left>c<td>d</table>""",
+      """<html><body><ul><li value=3>one<li>two</ul>""",
+      """<html><body><p>a &amp; b &lt;c&gt; &#65;&#x42;</p>""",
+      """<p align=right>bare para, implied chain, specified attr""",
+      """<html><body><p>run-end ref: a &amp b</p>""")
+      .zipWithIndex.foreach { case (d, i) => check(d, s"attr probe #$i") }
+  }
+
   // ---- random-omission generator --------------------------------------
   // Conservative subset where HTML 3.2 and 4.01 agree: block structure
   // p / ul / ol / dl / table with their optional end tags randomly omitted,
@@ -93,7 +126,13 @@ class HtmlOmissionDifferentialSpec extends AnyFunSuite {
   test("300 random docs with omitted end tags: repair ≡ Swing ParserDelegator") {
     val rng = new scala.util.Random(424342)
     val words = Vector("alpha", "beta", "gamma delta", "x1", "words here", "zz")
-    def text(): String = words(rng.nextInt(words.length))
+    // entity-laced fragments from the set both entity tables share; all
+    // terminated with ';' (both engines also accept a bare '&amp' run-end,
+    // covered by the probe test)
+    val entWords = Vector("a &amp; b", "&lt;tag&gt;", "ch &#65;&#x42;", "q&amp;a")
+    def text(): String =
+      if (rng.nextInt(4) == 0) entWords(rng.nextInt(entWords.length))
+      else words(rng.nextInt(words.length))
     def inline(depth: Int): String =
       if (depth <= 0 || rng.nextInt(3) > 0) text()
       else {
@@ -101,14 +140,25 @@ class HtmlOmissionDifferentialSpec extends AnyFunSuite {
         s"<$t>${inline(depth - 1)}</$t>"
       }
     def close(tag: String): String = if (rng.nextBoolean()) s"</$tag>" else ""
+    // attributes from the vocabulary HTML 3.2 and 4.01 declare identically
+    def alignAttr(): String =
+      if (rng.nextInt(3) == 0)
+        " align=" + Vector("left", "center", "right")(rng.nextInt(3))
+      else ""
+    def spanAttr(): String = rng.nextInt(4) match {
+      case 0 => s" colspan=${2 + rng.nextInt(2)}"
+      case 1 => s" rowspan=${2 + rng.nextInt(2)}"
+      case _ => ""
+    }
     def block(depth: Int): String = rng.nextInt(4) match {
       case 0 =>
-        s"<p>${inline(2)}${close("p")}"
+        s"<p${alignAttr()}>${inline(2)}${close("p")}"
       case 1 =>
         val t = if (rng.nextBoolean()) "ul" else "ol"
         val items = (0 to rng.nextInt(3)).map { _ =>
           val kids = if (depth > 0 && rng.nextInt(4) == 0) block(depth - 1) else inline(2)
-          s"<li>$kids${close("li")}"
+          val v = if (rng.nextInt(4) == 0) s" value=${1 + rng.nextInt(9)}" else ""
+          s"<li$v>$kids${close("li")}"
         }.mkString
         s"<$t>$items</$t>"
       case 2 =>
@@ -122,7 +172,7 @@ class HtmlOmissionDifferentialSpec extends AnyFunSuite {
           val cells = (0 to rng.nextInt(3)).map { _ =>
             val c = if (rng.nextInt(4) == 0) "th" else "td"
             val kids = if (depth > 0 && rng.nextInt(5) == 0) block(depth - 1) else inline(1)
-            s"<$c>$kids${close(c)}"
+            s"<$c${spanAttr()}${alignAttr()}>$kids${close(c)}"
           }.mkString
           s"<tr>$cells${close("tr")}"
         }.mkString
