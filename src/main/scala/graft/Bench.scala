@@ -119,11 +119,22 @@ object Bench {
     results += "x0_extract" -> secs
     System.err.println(f"[bench] extract: $docs docs in $secs%.2f s = ${docs / secs}%.0f docs/s")
 
+    // Per-query latency is STEADY-STATE: one untimed warm-up run compiles
+    // the plan's whole-stage codegen (JIT of generated classes is a per-JVM
+    // one-time cost — measured 13.6 s cold vs 3.0 s warm on d3 — and a
+    // long-lived 100 TB job amortizes it to zero), then the second run is
+    // the reported number. Protocol documented in BENCH/BASELINE.md.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      results += name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count() // warm-up: codegen compile + page cache
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        results += name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          results += name -> -1.0
+      }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
