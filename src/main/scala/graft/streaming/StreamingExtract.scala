@@ -139,6 +139,36 @@ object StreamingExtract {
       .select(col("doc_id"), col("text"), col("n_words"))
   }
 
+  /** Event-time windowed ingest metrics — the streaming twin of the batch
+    * per-partition lineage rows (north rule "per-partition lineage +
+    * metrics"): docs/spans/errors per event-time window over the extracted
+    * stream.
+    *
+    * Input needs columns `spans`, `errors` (any array type — only sizes
+    * are read) and `eventTimeCol` (timestamp). The watermark is what makes
+    * this viable 24/7 at scale: window state older than `lateness` behind
+    * the max observed event time is finalized (append mode emits exactly
+    * one row per window) and dropped from the store, and later stragglers
+    * are discarded by the engine — state is bounded by the lateness
+    * horizon, never the stream's history. */
+  def ingestMetrics(
+      extracted: org.apache.spark.sql.DataFrame,
+      eventTimeCol: String = "event_time",
+      windowDur: String = "1 minute",
+      lateness: String = "30 seconds"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    extracted
+      .withWatermark(eventTimeCol, lateness)
+      .groupBy(window(col(eventTimeCol), windowDur))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(size(col("spans")).cast("long")).as("spans"),
+        sum(size(col("errors")).cast("long")).as("errors"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("docs"), col("spans"), col("errors"))
+  }
+
   /** Convenience: run a chunk stream through assembly+extract into an
     * in-memory table (tests / demos); returns after all available data is
     * processed. Production uses the same plan with a parquet/Iceberg sink

@@ -142,4 +142,39 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").as[String].collect().toSet
     assert(got == Set("c1"))
   }
+
+  test("windowed ingest metrics: watermark finalizes windows and drops late rows") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    // (doc_id, event_time, spans, errors) — ingestMetrics only reads sizes
+    val mem = MemoryStream[(String, java.sql.Timestamp, Seq[String], Seq[String])](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt4").toString
+    val q = StreamingExtract.ingestMetrics(
+        mem.toDF().toDF("doc_id", "event_time", "spans", "errors"),
+        windowDur = "1 minute", lateness = "30 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_metrics").option("checkpointLocation", ckpt).start()
+    // batch 1: two docs in [10:00,10:01), one in [10:01,10:02)
+    mem.addData(Seq(
+      ("a", ts("10:00:10"), Seq("s1", "s2"), Seq.empty[String]),
+      ("b", ts("10:00:20"), Seq("s1"), Seq("e1")),
+      ("c", ts("10:01:05"), Seq("s1", "s2", "s3"), Seq.empty[String])))
+    q.processAllAvailable()
+    // batch 2: event time 10:03 → watermark 10:02:30 → both windows close
+    mem.addData(Seq(("d", ts("10:03:00"), Seq("s1"), Seq.empty[String])))
+    q.processAllAvailable()
+    // batch 3: straggler far behind the watermark → engine drops it; the
+    // already-finalized [10:00,10:01) row must not change or duplicate
+    mem.addData(Seq(("late", ts("10:00:30"), Seq("x"), Seq("e"))))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("stream_metrics")
+      .select(col("window_start").cast("string"), col("docs"), col("spans"), col("errors"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, d, s, e) => k -> ((d, s, e)) }.toMap
+    // exactly the two finalized windows; d's window is still open (not emitted)
+    assert(rows.keySet == Set("2026-01-01 10:00:00", "2026-01-01 10:01:00"))
+    assert(rows("2026-01-01 10:00:00") == ((2L, 3L, 1L))) // late row NOT counted
+    assert(rows("2026-01-01 10:01:00") == ((1L, 3L, 0L)))
+  }
 }
