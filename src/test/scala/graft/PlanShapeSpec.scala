@@ -10,7 +10,7 @@ import org.scalatest.BeforeAndAfterAll
   * properties, not result properties: no cartesian product anywhere, a
   * broadcast nested-loop join only where it is the documented brute-force
   * baseline (e1), and a pinned number of shuffle exchanges. This spec pins
-  * the measured plan shape of all 43 queries at sf0.001 (AQE off, so
+  * the measured plan shape of every query entry at sf0.001 (AQE off, so
   * `EnsureRequirements` materializes every exchange in `executedPlan`); any
   * future edit that silently degrades a bucketed equi-join into an all-pairs
   * join, or adds an unintended exchange, fails HERE — loudly, before a
