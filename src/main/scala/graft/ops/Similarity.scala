@@ -88,21 +88,23 @@ object Similarity {
   }
 
   /** Approximate top-k via multi-table sign-LSH with query-side
-    * MULTI-PROBE: each query probes its own bucket plus every 1-bit
+    * MULTI-PROBE: each query probes its own bucket plus every ≤2-bit
     * flip of it per table (the standard recall lever — a near neighbor
-    * on the wrong side of one hyperplane still surfaces), candidates =
-    * equi-join on (table, bucket), distinct, ranked by exact cosine.
-    * Probing multiplies only the tiny broadcast query side
-    * ((1+nPlanes)× rows), never the corpus; at 100 TB the bucketed
-    * corpus can live bucketed-at-rest so repeated query batches skip
-    * the exchange. */
+    * on the wrong side of one or two hyperplanes still surfaces),
+    * candidates = equi-join on (table, bucket), distinct, ranked by
+    * exact cosine. Probing multiplies only the tiny broadcast query side
+    * ((1 + nPlanes + C(nPlanes,2))× rows — 22× at the default 6 planes),
+    * never the corpus; at 100 TB the bucketed corpus can live
+    * bucketed-at-rest so repeated query batches skip the exchange. */
   def knnLsh(spark: SparkSession, sfDir: String,
       numQueries: Int = 10, k: Int = 5,
       nPlanes: Int = DefaultPlanes, nTables: Int = DefaultTables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = lshBuckets(spark, sfDir, nPlanes, nTables)
-    val probeCols: Seq[Column] =
-      col("bucket") +: (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+    val probeMasks: Seq[Long] = 0L +:
+      ((0 until nPlanes).map(p => 1L << p) ++
+        (for (a <- 0 until nPlanes; b <- a + 1 until nPlanes) yield (1L << a) | (1L << b)))
+    val probeCols: Seq[Column] = probeMasks.map(m => col("bucket").bitwiseXOR(lit(m)))
     val queryBuckets = bucketed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("tbl").as("q_tbl"),
         explode(array(probeCols: _*)).as("q_bucket"))
