@@ -201,18 +201,27 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.length == 25) // 5 queries × 5 ranked neighbors
     val ranks = exact.groupBy(_.getLong(0)).values
     assert(ranks.forall(_.map(_.getInt(1)).sorted.sameElements(1 to 5)))
-    // multi-table multi-probe LSH is approximate: every candidate's bucket
-    // is within hamming distance 1 of its query's bucket (the probe set:
-    // own bucket + every 1-bit flip) in at least one hash table
+    // multi-table multi-probe LSH is approximate: with probeBits = b,
+    // every candidate's bucket is within hamming distance b of its
+    // query's bucket in at least one hash table — guaranteed by the
+    // probe-set construction, asserted here for b = 0 and b = 1
     val buckets = Similarity.lshBuckets(spark, sf, nPlanes = 2)
       .select("vec_id", "tbl", "bucket").collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def maxMinHamming(rows: Array[org.apache.spark.sql.Row]): Int =
+      rows.map { r =>
+        (0 until Similarity.DefaultTables).map { t =>
+          java.lang.Long.bitCount(buckets((r.getLong(2), t)) ^ buckets((r.getLong(0), t)))
+        }.min
+      }.max
+    val exactBucket =
+      Similarity.knnLsh(spark, sf, numQueries = 5, k = 5, nPlanes = 2, probeBits = 0).collect()
+    assert(exactBucket.nonEmpty && maxMinHamming(exactBucket) == 0)
+    val oneBit =
+      Similarity.knnLsh(spark, sf, numQueries = 5, k = 5, nPlanes = 2, probeBits = 1).collect()
+    assert(oneBit.nonEmpty && maxMinHamming(oneBit) <= 1)
     val approx = Similarity.knnLsh(spark, sf, numQueries = 5, k = 5, nPlanes = 2).collect()
-    assert(approx.nonEmpty)
-    assert(approx.forall(r => (0 until Similarity.DefaultTables).exists { t =>
-      val d = java.lang.Long.bitCount(buckets((r.getLong(2), t)) ^ buckets((r.getLong(0), t)))
-      d <= 1
-    }))
+    assert(approx.nonEmpty && maxMinHamming(approx) <= 2)
     // with 2 planes (4 big buckets), top-1 recall is usually non-zero; the
     // property that matters structurally is determinism
     val again = Similarity.knnLsh(spark, sf, numQueries = 5, k = 5, nPlanes = 2).collect()
