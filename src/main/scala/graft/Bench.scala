@@ -126,26 +126,43 @@ object Bench {
     // runs is reported (this shared box injects multi-second one-off
     // stalls; min-of-trials estimates uncontended latency). Protocol
     // documented in BENCH/BASELINE.md.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        fn(spark, sfDir).count() // warm-up: codegen compile + page cache
-        val best = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        results += name -> best
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e")
-          results += name -> -1.0
-      }
+    // SPARK_GRAFT_QUERIES: comma-separated name prefixes — run a subset in
+    // a fresh JVM (the bisect tool for suite-level interference; leave
+    // unset for the full driver-contract suite)
+    val keep: String => Boolean = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(q) =>
+        val prefixes = q.split(",").map(_.trim).filter(_.nonEmpty)
+        name => prefixes.exists(name.startsWith)
+      case None => _ => true
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => keep(name) }
+      .foreach { case (name, fn) =>
+        try {
+          fn(spark, sfDir).count() // warm-up: codegen compile + page cache
+          val best = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          results += name -> best
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e")
+            failed += name
+            results += name -> -1.0 // sentinel: failed (excluded from total)
+        }
+      }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}""")
+    // a failed query must never SHRINK the headline: total sums successes
+    // only, and the failure list rides the JSON so a non-green run is
+    // distinguishable downstream, not just on stderr
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedJson%s,"queries":$qs%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 

@@ -18,6 +18,44 @@ object Dedup {
   private def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** The mega-bucket valve, shared by every bucket-collect operator
+    * (verifiedPairsOf, simhashPairs, Similarity.embeddingNearDupsOf):
+    * keep only rows whose `keyCols` group has ≤ maxBucket members.
+    *
+    * The pre-pass matters: filtering collect_list OUTPUT by size still
+    * materializes the mega bucket inside one aggregation buffer first —
+    * the exact OOM the valve exists to prevent. So when a cap is set, a
+    * count aggregation (map-side partials, tiny (key, n) result) runs
+    * first and a left-semi join keeps only rows of surviving buckets;
+    * the extra shuffle is the price of the guarantee and is only paid
+    * when the valve is ON. Dropped buckets are dropped WHOLE — their
+    * members are boilerplate/template mass better handled by exact dedup
+    * upstream; droppedBucketStats counts what the cap discarded. At the
+    * default Int.MaxValue this is the identity (oracle parity at test
+    * SFs: zero plan change). */
+  private[ops] def capBuckets(banded: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      val ok = banded.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucket)
+        .select(keyCols.map(col): _*)
+      banded.join(ok, keyCols, "left_semi")
+    }
+
+  /** Audit row for a capped run: how many buckets/rows the valve dropped
+    * (one aggregate over the same banded frame — production pipelines log
+    * this next to the pair output so a silent cap never reads as "covered
+    * everything"). */
+  def droppedBucketStats(banded: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame =
+    banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .agg(count(lit(1)).as("dropped_buckets"),
+        coalesce(sum(col("__n")), lit(0L)).as("dropped_rows"))
+
   /** Exact dedup: group by content hash, keep min doc_id. One shuffle on
     * md5(text) (partial aggregation map-side). */
   def exact(spark: SparkSession, sfDir: String): DataFrame = {
@@ -122,7 +160,8 @@ object Dedup {
     * should set it to O(10³) and count the dropped buckets. */
   def verifiedPairsOf(d: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
-    val bands = bandsOf(d, idCol, textCol)
+    val bands = capBuckets(bandsOf(d, idCol, textCol),
+      Seq("band", "band_hash"), maxBucket)
     val cands = bands
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col(idCol)).as("ids"))
@@ -217,16 +256,26 @@ object Dedup {
 
   /** Near-dup pairs with hamming distance ≤ maxDist via 4×16-bit band
     * blocking (a pair within distance 3 must agree on ≥1 band). Same
-    * bucket-collect shape as minhashPairs: one pass + one shuffle. */
-  def simhashPairs(spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame = {
-    val sh = simhashes(spark, sfDir)
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    * bucket-collect shape as minhashPairs: one pass + one shuffle.
+    * `maxBucket`: same whole-bucket valve as verifiedPairsOf (a
+    * template-heavy corpus concentrates mass in few band values — one hot
+    * bucket is one OOM'd task without the cap). Default uncapped for
+    * oracle parity at test SFs. */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxDist: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    simhashPairsOf(simhashes(spark, sfDir), maxDist, maxBucket)
+
+  /** simhashPairs over ANY (doc_id, simhash) frame. */
+  def simhashPairsOf(sh: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val banded0 = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), b * 16)
             .bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.band_val").as("band_val"))
+    val banded = capBuckets(banded0, Seq("band", "band_val"), maxBucket)
     banded
       .groupBy(col("band"), col("band_val"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))

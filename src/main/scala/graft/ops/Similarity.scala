@@ -50,8 +50,39 @@ object Similarity {
   // e2/e3 oracles rebuild the exact planes with integer SQL and verify
   // the whole ANN path end-to-end.
   val Dim = 64 // embeddings table dimension (TESTDATA.md)
-  val DefaultPlanes = 6 // bits per table → 64 buckets
+  val DefaultPlanes = 6 // bits per table → 64 buckets (test-SF pin; see derivedPlanes)
   val DefaultTables = 8 // multi-table LSH: recall 1-(1-p)^L vs p
+
+  /** Production LSH width from corpus size: the smallest nPlanes giving an
+    * expected bucket occupancy ≤ targetBucket under a uniform-hash model —
+    * ceil(log2(n / targetBucket)), floored at DefaultPlanes (the pinned
+    * oracle width, correct at test SFs) and capped at 30 (≈10⁹ buckets —
+    * beyond that, bucket keys stop fitting comfortable shuffle-partition
+    * counts and more TABLES, not more planes, is the recall-safe lever).
+    * At 10¹² rows and targetBucket=1000 this derives 30; the fixed default
+    * of 6 (64 buckets) would make every query's candidate set O(N) — the
+    * parameter, not the plan shape, was the r2 scale gap. */
+  def derivedPlanes(n: Long, targetBucket: Long = 1000L): Int = {
+    require(targetBucket > 0, s"targetBucket must be positive, got $targetBucket")
+    if (n <= targetBucket) DefaultPlanes
+    else {
+      val ratioCeilLog = 64 - java.lang.Long.numberOfLeadingZeros((n - 1) / targetBucket)
+      math.min(30, math.max(DefaultPlanes, ratioCeilLog))
+    }
+  }
+
+  /** XOR masks of Hamming weight 0..probeBits over nPlanes bit positions —
+    * the multi-probe key set (weight-0 mask = the bucket itself). Any
+    * radius is honored; an out-of-range request fails loudly instead of
+    * silently clamping. */
+  private[graft] def probeMasks(nPlanes: Int, probeBits: Int): Seq[Long] = {
+    require(probeBits >= 0 && probeBits <= nPlanes,
+      s"probeBits must be in [0, nPlanes=$nPlanes], got $probeBits")
+    def combos(start: Int, k: Int): Seq[Long] =
+      if (k == 0) Seq(0L)
+      else (start until nPlanes).flatMap(p => combos(p + 1, k - 1).map(_ | (1L << p)))
+    (0 to probeBits).flatMap(k => combos(0, k))
+  }
   // public: SparkEntry's DuckDB oracle interpolates these into SQL
   val PlaneCoefK = 2654435761L
   val PlaneCoefP = 2147483629L
@@ -66,6 +97,11 @@ object Similarity {
   /** Sign-LSH bucket per (vector, table): nPlanes sign bits per table,
     * nTables independent tables. One narrow stage (generator + UDF). */
   def lshBuckets(spark: SparkSession, sfDir: String,
+      nPlanes: Int = DefaultPlanes, nTables: Int = DefaultTables): DataFrame =
+    lshBucketsOf(embeddings(spark, sfDir), nPlanes, nTables)
+
+  /** Same bucketing over ANY (vec_id, embedding) frame. */
+  def lshBucketsOf(emb: DataFrame,
       nPlanes: Int = DefaultPlanes, nTables: Int = DefaultTables): DataFrame = {
     val planes = Array.tabulate(nTables, nPlanes, Dim)(planeVal)
     val bucketOf = udf((v: Seq[Float], t: Int) => {
@@ -81,7 +117,7 @@ object Similarity {
       }
       bucket
     })
-    embeddings(spark, sfDir)
+    emb
       .select(col("vec_id"), col("embedding"),
         explode(array((0 until nTables).map(lit): _*)).as("tbl"))
       .withColumn("bucket", bucketOf(col("embedding"), col("tbl")))
@@ -104,13 +140,10 @@ object Similarity {
     val bucketed = lshBuckets(spark, sfDir, nPlanes, nTables)
     // probeBits tunes the recall/latency trade: 0 = exact-bucket only,
     // 1 = +single-plane flips, 2 = +plane-pair flips (default; 22 keys
-    // per table at 6 planes, recall@5 0.92 on the pinned corpus)
-    val probeMasks: Seq[Long] = 0L +:
-      ((if (probeBits >= 1) (0 until nPlanes).map(p => 1L << p) else Seq.empty[Long]) ++
-        (if (probeBits >= 2)
-          for (a <- 0 until nPlanes; b <- a + 1 until nPlanes) yield (1L << a) | (1L << b)
-        else Seq.empty[Long]))
-    val probeCols: Seq[Column] = probeMasks.map(m => col("bucket").bitwiseXOR(lit(m)))
+    // per table at 6 planes, recall@5 0.92 on the pinned corpus); any
+    // radius up to nPlanes is honored (probe count Σ C(nPlanes, i))
+    val probeCols: Seq[Column] =
+      probeMasks(nPlanes, probeBits).map(m => col("bucket").bitwiseXOR(lit(m)))
     val queryBuckets = bucketed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("tbl").as("q_tbl"),
         explode(array(probeCols: _*)).as("q_bucket"))
@@ -291,10 +324,25 @@ object Similarity {
     * threshold (one table keeps the pair stream duplicate-free without a
     * distinct; oracle-verified against the same closed-form planes).
     * Bucket-collect shape: one pass over the corpus, one shuffle, pairs
-    * explode within each bucket. */
+    * explode within each bucket.
+    *
+    * `maxBucket` is the 100 TB safety valve (same semantics as
+    * Dedup.verifiedPairsOf): buckets larger than the cap are dropped
+    * WHOLE — before any collect_list materializes them, so a hot bucket
+    * can never OOM an executor (see Dedup.capBuckets). Default uncapped
+    * for oracle parity at test SFs; production sets O(10³) and derives
+    * nPlanes from corpus size (derivedPlanes) so buckets stay small in
+    * the first place. */
   def embeddingNearDups(spark: SparkSession, sfDir: String,
-      minSim: Double = 0.95, nPlanes: Int = DefaultPlanes): DataFrame = {
-    val bucketed = lshBuckets(spark, sfDir, nPlanes, nTables = 1)
+      minSim: Double = 0.95, nPlanes: Int = DefaultPlanes,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    embeddingNearDupsOf(embeddings(spark, sfDir), minSim, nPlanes, maxBucket)
+
+  /** embeddingNearDups over ANY (vec_id, embedding) frame. */
+  def embeddingNearDupsOf(emb: DataFrame, minSim: Double = 0.95,
+      nPlanes: Int = DefaultPlanes, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val bucketed = Dedup.capBuckets(
+      lshBucketsOf(emb, nPlanes, nTables = 1), Seq("bucket"), maxBucket)
     bucketed
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("xs"))

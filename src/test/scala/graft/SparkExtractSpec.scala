@@ -256,6 +256,62 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mega-bucket valve: pathological one-bucket corpora survive a cap") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Similarity}
+    // 40 identical docs → every simhash band bucket holds all 40 rows
+    val same = (1L to 40L).map(i => (i, "the same template text repeated " * 4))
+      .toDF("doc_id", "text")
+    val sh = udf((t: String) => Dedup.simhash(t))
+    val hashes = same.select(col("doc_id"), sh(col("text")).as("simhash"))
+    // uncapped: C(40,2) identical-hash pairs
+    assert(Dedup.simhashPairsOf(hashes).count() === 40L * 39 / 2)
+    // capped below the bucket size: the hot bucket drops WHOLE — no pairs,
+    // no OOM path (the semi-join valve runs before any collect_list)
+    assert(Dedup.simhashPairsOf(hashes, maxBucket = 10).count() === 0)
+    // the audit row makes the drop loud: 4 band buckets × 40 rows
+    val banded = hashes.select(col("doc_id"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_val").as("band_val"))
+    val stats = Dedup.droppedBucketStats(banded, Seq("band", "band_val"), 10).collect()(0)
+    assert(stats.getAs[Long]("dropped_buckets") === 4L)
+    assert(stats.getAs[Long]("dropped_rows") === 160L)
+    // same valve on the embedding near-dup path: 20 identical vectors in
+    // one LSH bucket
+    val emb = (1L to 20L).map(i => (i, Array.fill(64)(0.5f).toSeq))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.embeddingNearDupsOf(emb, minSim = 0.9).count() === 20L * 19 / 2)
+    assert(Similarity.embeddingNearDupsOf(emb, minSim = 0.9, maxBucket = 5).count() === 0)
+    // minhash band path through the same helper
+    assert(Dedup.verifiedPairsOf(same, "doc_id", "text", 0.5).count() === 40L * 39 / 2)
+    assert(Dedup.verifiedPairsOf(same, "doc_id", "text", 0.5, maxBucket = 10).count() === 0)
+  }
+
+  test("LSH width derives from corpus size; probe masks honor any radius") {
+    import graft.ops.Similarity
+    // ≤ targetBucket rows: the pinned test-SF width
+    assert(Similarity.derivedPlanes(500) === Similarity.DefaultPlanes)
+    assert(Similarity.derivedPlanes(64000, 1000) === Similarity.DefaultPlanes)
+    // ceil(log2(n / target)): 1M → 10 bits, 1G → 20 bits, 10¹² → capped 30
+    assert(Similarity.derivedPlanes(1000000L) === 10)
+    assert(Similarity.derivedPlanes(1000000000L) === 20)
+    assert(Similarity.derivedPlanes(1000000000000L) === 30)
+    // exact power boundary: n/target = 1024 needs exactly 10 bits
+    assert(Similarity.derivedPlanes(1024000L) === 10)
+    assert(Similarity.derivedPlanes(1024001L) === 11)
+    // probe masks: Σ C(nPlanes, i) for i ≤ probeBits, all distinct, each
+    // of Hamming weight ≤ probeBits — radius 3 is honored, not clamped
+    val m3 = Similarity.probeMasks(6, 3)
+    assert(m3.size === 1 + 6 + 15 + 20)
+    assert(m3.distinct.size === m3.size)
+    assert(m3.forall(m => java.lang.Long.bitCount(m) <= 3))
+    assert(Similarity.probeMasks(6, 2).size === 22) // the pinned default
+    intercept[IllegalArgumentException](Similarity.probeMasks(6, 7))
+    intercept[IllegalArgumentException](Similarity.probeMasks(6, -1))
+  }
+
   test("media stub pipeline: deterministic metadata, joinable to spans") {
     import graft.ops.MediaOps
     val meta = MediaOps.decodeStub(MediaOps.syntheticAssets(spark, sf))
