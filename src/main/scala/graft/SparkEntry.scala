@@ -440,9 +440,13 @@ object SparkEntry {
       |    LEFT JOIN bits b ON b.doc_id = d0.doc_id
       |    GROUP BY d0.doc_id) d)""".stripMargin
 
-  // Synthetic media assets + stub decode rebuilt in SQL (mirrors
+  // Synthetic media assets + decode rebuilt in SQL (mirrors
   // graft.ops.MediaOps: base-31 seed over the decimal doc_id, closed-form
-  // byte stream, base-31 byte hash mod P → dimensions/frames).
+  // byte stream, base-31 byte hash mod P → stub dimensions/frames for
+  // audio/video). PNG dimensions are the closed-form (seed-derived)
+  // values the asset WRITER embeds into the real IHDR header — the Spark
+  // side reads them back out of the bytes (MediaOps.sniffImage), so
+  // matching here verifies the write→sniff round trip end-to-end.
   private val mediaCtes: String =
     s"""ma AS (
       |  SELECT CAST(doc_id AS VARCHAR) AS id,
@@ -457,7 +461,7 @@ object SparkEntry {
       |         ELSE 'video/mp4' END AS mime
       |  FROM ma),
       |mh AS (
-      |  SELECT id, len, mime,
+      |  SELECT id, seed, len, mime,
       |    list_reduce(list_prepend(0::BIGINT,
       |      list_transform(range(len),
       |        j -> (seed + (j + 1) * ${MediaOps.MediaK}) % ${MediaOps.MediaP} % 256)),
@@ -466,8 +470,10 @@ object SparkEntry {
       |mm AS (
       |  SELECT '${SgmlExtract.AssetPrefix}' || id || '${SgmlExtract.AssetSuffix}' AS media_ref,
       |    mime, CAST(len AS INTEGER) AS byte_len,
-      |    CAST(16 + hh % 1024 AS INTEGER) AS width,
-      |    CAST(16 + (hh // 1024) % 1024 AS INTEGER) AS height,
+      |    CAST(CASE WHEN mime = 'image/png' THEN 16 + seed % 1024
+      |         ELSE 16 + hh % 1024 END AS INTEGER) AS width,
+      |    CAST(CASE WHEN mime = 'image/png' THEN 16 + (seed // 1024) % 1024
+      |         ELSE 16 + (hh // 1024) % 1024 END AS INTEGER) AS height,
       |    CAST(CASE WHEN mime LIKE 'video%' THEN 1 + (hh // 1048576) % 300
       |         ELSE 1 END AS INTEGER) AS n_frames
       |  FROM mh)""".stripMargin

@@ -27,9 +27,42 @@ object MediaOps {
   val MediaP = 4294967311L // prime > 2^32 (same as Dedup.HashP)
   val MediaK = 2654435761L // Knuth multiplicative constant
 
+  /** Closed-form PNG dimensions for a writer-generated asset (shared with
+    * the m1/m2 oracles, which recompute them from the seed in SQL while
+    * the Spark side reads them back out of the REAL header bytes). */
+  def pngDims(seed: Long): (Int, Int) =
+    (16 + (seed % 1024).toInt, 16 + (seed / 1024 % 1024).toInt)
+
+  /** Minimal real PNG header: 8-byte signature + IHDR chunk (13-byte data,
+    * real CRC32) — exactly what any conforming dimension sniffer reads.
+    * 33 bytes. */
+  def pngHeader(w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](33)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { out(i) = sig(i).toByte; i += 1 }
+    def be32(off: Int, v: Long): Unit = {
+      out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+      out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+    }
+    be32(8, 13L) // IHDR data length
+    out(12) = 'I'; out(13) = 'H'; out(14) = 'D'; out(15) = 'R'
+    be32(16, w.toLong); be32(20, h.toLong)
+    out(24) = 8 // bit depth
+    out(25) = 2 // color type: truecolor
+    // compression = filter = interlace = 0 (already zeroed)
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 12, 17) // type + data
+    be32(29, crc.getValue)
+    out
+  }
+
   /** Synthetic deterministic media-asset table derived from doc ids (no
     * external data): media_ref matches the refs emitted by
-    * `wrapDocumentsMarked`. */
+    * `wrapDocumentsMarked`. Image assets carry a REAL PNG signature +
+    * IHDR header (closed-form dimensions, real CRC) followed by filler —
+    * the decode path reads the dimensions back out of the bytes; audio/
+    * video stay opaque closed-form streams for the stub. */
   def syntheticAssets(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -49,28 +82,74 @@ object MediaOps {
           case 1 => "audio/wav"
           case _ => "video/mp4"
         }
+        if (mime == "image/png") {
+          val (w, h) = pngDims(seed)
+          System.arraycopy(pngHeader(w, h), 0, bytes, 0, 33)
+        }
         MediaRow(graft.SgmlExtract.AssetPrefix + id + graft.SgmlExtract.AssetSuffix,
           bytes, mime)
       }
   }
 
-  /** ??? in spirit — the codec is a clearly-marked deterministic fake:
-    * real decode would go here (image decode / audio PCM / frame sample).
-    * Metadata and an 8-dim "feature" derive only from the bytes, so
-    * results are stable for tests. Batched per partition like a Pandas
-    * UDF batch. */
+  /** Image dimension sniffing from REAL header bytes — pure JVM, no codec
+    * libraries: PNG (IHDR), GIF87a/89a (logical screen descriptor,
+    * little-endian), JPEG (segment scan to the first SOFn frame header).
+    * Returns (mime, width, height); None when no image signature matches
+    * (the caller falls back to the documented stub). Runs per row inside
+    * mapPartitions — narrow, allocation-free. */
+  def sniffImage(b: Array[Byte]): Option[(String, Int, Int)] = {
+    if (b == null) return None
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    @inline def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some(("image/png", be32(16), be32(20)))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some(("image/gif", le16(6), le16(8)))
+    else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      // JPEG: walk marker segments to the first SOFn (C0–CF minus the
+      // non-frame C4/C8/CC); SOF layout = len(2) precision(1) h(2) w(2)
+      var i = 2
+      while (i + 9 < b.length && u8(i) == 0xFF) {
+        val marker = u8(i + 1)
+        if (marker == 0xFF) i += 1 // fill byte
+        else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) i += 2 // standalone
+        else {
+          val segLen = be16(i + 2)
+          if (segLen < 2) return None
+          if (marker >= 0xC0 && marker <= 0xCF &&
+              marker != 0xC4 && marker != 0xC8 && marker != 0xCC)
+            return Some(("image/jpeg", be16(i + 7), be16(i + 5)))
+          i += 2 + segLen
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Image metadata is REAL — `sniffImage` parses dimensions out of the
+    * actual PNG/GIF/JPEG header bytes (no codec libraries needed for
+    * headers). Audio/video decode stays a clearly-marked deterministic
+    * fake (this container ships no AV codecs): hash-derived frames +
+    * byte-histogram feature. Batched per partition like a Pandas UDF
+    * batch. */
   def decodeStub(assets: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { m =>
-        // STUB decode: hash-derived dimensions/frames + byte-histogram
-        // feature. Replace with a real codec in production. The hash is a
-        // base-31 poly over UNSIGNED byte values mod P (oracle-replicable).
+        // base-31 poly over UNSIGNED byte values mod P (oracle-replicable)
         var h = 0L
         var i = 0
         while (i < m.bytes.length) { h = (h * 31 + (m.bytes(i) + 128)) % MediaP; i += 1 }
-        val w = 16 + (h % 1024).toInt
-        val ht = 16 + (h / 1024 % 1024).toInt
+        val (w, ht) = sniffImage(m.bytes) match {
+          case Some((_, iw, ih)) => (iw, ih) // real header parse
+          case None => // STUB for non-image payloads: hash-derived
+            (16 + (h % 1024).toInt, 16 + (h / 1024 % 1024).toInt)
+        }
         val frames = if (m.mime.startsWith("video")) 1 + (h / 1048576 % 300).toInt else 1
         val feat = new Array[Float](8)
         i = 0

@@ -19,11 +19,14 @@ import scala.collection.mutable
   *    falling back to object order when the tree is broken;
   *  - text extraction from content streams: BT/ET, Tj/TJ/'/" shows,
   *    line tracking via Td, TD, T-star and Tm (a new line emits '\n');
-  *    strings decode
-  *    as UTF-16BE when BOM-prefixed, Latin-1 otherwise. Font /ToUnicode
-  *    CMaps are NOT interpreted (documented limitation — text written
-  *    with simple encodings, incl. everything `PdfWriter` emits,
-  *    round-trips exactly).
+  *    font tracking via Tf against the page's /Resources /Font dict —
+  *    when the selected font carries a /ToUnicode CMap, show strings
+  *    decode through it (codespacerange width, bfchar pairs, bfrange in
+  *    both sequential and array form — the common embedded/subset-font
+  *    shapes); without a CMap, strings decode as UTF-16BE when
+  *    BOM-prefixed, Latin-1 otherwise. Not interpreted: /Encoding
+  *    /Differences arrays and predefined CID CMap names (rare in crawled
+  *    text PDFs relative to ToUnicode, which writers emit for copy-paste).
   */
 object Pdf {
 
@@ -115,6 +118,126 @@ object Pdf {
         case Some(PArr(Vector(PName("FlateDecode")))) => inflate(s.raw)
         case Some(_) => Array.emptyByteArray
       }
+
+    /** /ToUnicode CMaps of a page's fonts, keyed by resource name (the
+      * operand of Tf). Only the page's own /Resources are consulted (the
+      * writer twin and typical crawled PDFs put them there; /Pages-level
+      * inheritance is not walked). */
+    def fontCMaps(page: PDict): Map[String, CMap] =
+      (for {
+        res <- page.get("Resources").flatMap(dictOf).toSeq
+        fonts <- res.get("Font").flatMap(dictOf).toSeq
+        (name, fref) <- fonts.m.toSeq
+        fd <- dictOf(fref).toSeq
+        tu <- fd.get("ToUnicode").map(resolve).toSeq.collect { case s: PStream => s }
+      } yield name -> parseCMap(decodeStream(tu))).toMap
+  }
+
+  // ------------------------------------------------------------- ToUnicode
+
+  /** A parsed /ToUnicode CMap: fixed code width (1 or 2 bytes, from
+    * codespacerange) + code → replacement-text map. Unmapped 1-byte codes
+    * fall back to Latin-1 (PDFDocEncoding's printable range); unmapped
+    * 2-byte codes emit U+FFFD — mojibake is made VISIBLE, not silent. */
+  final class CMap(val codeBytes: Int, val map: Map[Int, String]) {
+    def decode(b: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(b.length)
+      var i = 0
+      while (i + codeBytes <= b.length) {
+        var code = 0
+        var k = 0
+        while (k < codeBytes) { code = (code << 8) | (b(i + k) & 0xFF); k += 1 }
+        map.get(code) match {
+          case Some(s) => sb.append(s)
+          case None =>
+            if (codeBytes == 1) sb.append(code.toChar) else sb.append('�')
+        }
+        i += codeBytes
+      }
+      sb.toString
+    }
+  }
+
+  /** Parse a (decoded) CMap stream: `begincodespacerange` fixes the code
+    * width, `beginbfchar` pairs and `beginbfrange` triples (sequential
+    * `<lo> <hi> <dstStart>` — last UTF-16 code unit increments — and
+    * array `<lo> <hi> [<d1> …]` forms) fill the map. Tolerant of the
+    * surrounding PostScript boilerplate (skipped tokens); never throws. */
+  def parseCMap(data: Array[Byte]): CMap = {
+    val lx = new Lexer(data)
+    val m = mutable.Map.empty[Int, String]
+    var codeBytes = 0
+    def codeOf(b: Array[Byte]): Int = {
+      var v = 0
+      b.foreach(x => v = (v << 8) | (x & 0xFF))
+      v
+    }
+    def utf16(b: Array[Byte]): String =
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    def noteWidth(src: Array[Byte]): Unit =
+      if (codeBytes == 0 && src.length > 0) codeBytes = math.min(2, src.length)
+    var go = true
+    var guard = 1 << 20
+    while (go && guard > 0) {
+      guard -= 1
+      lx.token() match {
+        case TEof => go = false
+        case TKw("begincodespacerange") =>
+          var inner = true
+          while (inner) lx.token() match {
+            case TStr(lo) => noteWidth(lo) // the hi bound token follows; skipped
+            case TKw("endcodespacerange") | TEof => inner = false
+            case _ =>
+          }
+        case TKw("beginbfchar") =>
+          var inner = true
+          while (inner) lx.token() match {
+            case TStr(src) => lx.token() match {
+              case TStr(dst) => noteWidth(src); m(codeOf(src)) = utf16(dst)
+              case _ => inner = false
+            }
+            case TKw("endbfchar") | TEof => inner = false
+            case _ =>
+          }
+        case TKw("beginbfrange") =>
+          var inner = true
+          while (inner) lx.token() match {
+            case TStr(lo0) =>
+              noteWidth(lo0)
+              val lo = codeOf(lo0)
+              lx.token() match {
+                case TStr(hi0) =>
+                  val hi = math.min(codeOf(hi0), lo + 0xFFFF) // range-size valve
+                  lx.token() match {
+                    case TStr(dst) => // sequential: last code unit increments
+                      val base = utf16(dst)
+                      if (base.nonEmpty) {
+                        var c = lo
+                        while (c <= hi) {
+                          val last = (base.charAt(base.length - 1) + (c - lo)).toChar
+                          m(c) = base.substring(0, base.length - 1) + last
+                          c += 1
+                        }
+                      }
+                    case TArrOpen => // array form: one dst string per code
+                      var c = lo
+                      var arr = true
+                      while (arr) lx.token() match {
+                        case TStr(dst) => if (c <= hi) { m(c) = utf16(dst); c += 1 }
+                        case TArrClose | TEof => arr = false
+                        case _ =>
+                      }
+                    case _ => inner = false
+                  }
+                case _ => inner = false
+              }
+            case TKw("endbfrange") | TEof => inner = false
+            case _ =>
+          }
+        case _ => // PostScript boilerplate (findresource, dicts, cid ops): skip
+      }
+    }
+    new CMap(if (codeBytes == 0) 2 else codeBytes, m.toMap)
   }
 
   def inflate(data: Array[Byte]): Array[Byte] = {
@@ -293,18 +416,22 @@ object Pdf {
 
   /** Extract the text of one content stream: shows concatenate; the line
     * operators (Td, TD, T-star, Tm, quote and double-quote) insert a
-    * newline. */
-  def contentText(content: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    * newline. `fonts` maps Tf resource names to their /ToUnicode CMaps —
+    * shows under a CMap'd font decode through it. */
+  def contentText(content: Array[Byte], sb: java.lang.StringBuilder,
+      fonts: Map[String, CMap] = Map.empty): Unit = {
     val lx = new Lexer(content)
     val operands = mutable.ArrayBuffer.empty[PObj]
     val noErrs = Vector.newBuilder[PdfError]
     var firstLine = true
+    var curCMap: CMap = null // set by Tf; null = simple-encoding decode
     def newline(): Unit = {
       if (!firstLine) sb.append('\n')
       firstLine = false
     }
     def show(o: PObj): Unit = o match {
-      case PStr(b) => sb.append(decodeText(b))
+      case PStr(b) =>
+        sb.append(if (curCMap != null) curCMap.decode(b) else decodeText(b))
       case _ =>
     }
     var guard = 1 << 22
@@ -325,7 +452,11 @@ object Pdf {
           case "Td" | "TD" | "T*" => newline(); operands.clear()
           case "Tm" => newline(); operands.clear()
           case "BT" => firstLine = true; operands.clear()
-          case _ => operands.clear() // ET, Tf, colors, paths, …
+          case "Tf" => // `/F1 11 Tf`: select font → its CMap (or none)
+            curCMap = operands.collectFirst { case PName(f) => f }
+              .flatMap(fonts.get).orNull
+            operands.clear()
+          case _ => operands.clear() // ET, colors, paths, …
         }
         case _ =>
           lx.restore()
@@ -345,7 +476,7 @@ object Pdf {
       var i = 0
       while (i < ps.length) {
         if (i > 0) sb.append('\n')
-        contentText(doc.pageContent(ps(i)), sb)
+        contentText(doc.pageContent(ps(i)), sb, doc.fontCMaps(ps(i)))
         i += 1
       }
       TextResult(sb.toString, ps.length, doc.errors)

@@ -108,6 +108,79 @@ object PdfWriter {
     }
   }
 
+  /** CMap'd-font twin: one page whose text is written as 2-byte codes
+    * (code i+1 = the i-th UTF-16 code unit of `text`) under a /Type0 font
+    * whose /ToUnicode CMap maps them back. The generator exercises all
+    * three CMap entry forms deterministically: maximal consecutive-char
+    * runs of length ≥3 become sequential `<lo> <hi> <dstStart>` bfranges,
+    * runs of exactly 2 become array-form bfranges, singletons become
+    * bfchar pairs. `Pdf.extractText` must round-trip `text` exactly. */
+  def cmapPage(text: String, compress: Boolean = true): Array[Byte] = {
+    val chars = text.toCharArray
+    require(chars.length <= 0xFFFE, "cmapPage: text too long for 2-byte codes")
+    val bfchar = mutable.ArrayBuffer.empty[String]
+    val bfrange = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < chars.length) {
+      var j = i + 1
+      while (j < chars.length && chars(j) == chars(j - 1) + 1) j += 1
+      val len = j - i
+      if (len >= 3)
+        bfrange += f"<${i + 1}%04X> <$j%04X> <${chars(i).toInt}%04X>"
+      else if (len == 2)
+        bfrange += f"<${i + 1}%04X> <$j%04X> [<${chars(i).toInt}%04X> <${chars(i + 1).toInt}%04X>]"
+      else
+        bfchar += f"<${i + 1}%04X> <${chars(i).toInt}%04X>"
+      i = j
+    }
+    val cmap = new java.lang.StringBuilder(256)
+    cmap.append("/CIDInit /ProcSet findresource begin\nbegincmap\n")
+    cmap.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    cmap.append(s"${bfchar.length} beginbfchar\n")
+    bfchar.foreach(l => cmap.append(l).append('\n'))
+    cmap.append("endbfchar\n")
+    cmap.append(s"${bfrange.length} beginbfrange\n")
+    bfrange.foreach(l => cmap.append(l).append('\n'))
+    cmap.append("endbfrange\nendcmap\nend\n")
+    val cmapBytes = cmap.toString.getBytes(ISO_8859_1)
+
+    val codesHex = new java.lang.StringBuilder(chars.length * 4 + 2)
+    codesHex.append('<')
+    var k = 0
+    while (k < chars.length) { codesHex.append(f"${k + 1}%04X"); k += 1 }
+    codesHex.append('>')
+    val content = s"BT /F1 11 Tf 72 720 Td $codesHex Tj ET".getBytes(ISO_8859_1)
+
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val offsets = mutable.ArrayBuffer.empty[Int]
+    def beginObj(n: Int): Unit = { offsets += out.size(); w(s"$n 0 obj\n") }
+    def streamObj(n: Int, raw: Array[Byte]): Unit = {
+      val (data, filter) =
+        if (compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      beginObj(n)
+      w(s"<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    w("%PDF-1.4\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2); w("<< /Type /Pages /Kids [5 0 R] /Count 1 >>\nendobj\n")
+    beginObj(3)
+    w("<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic /ToUnicode 4 0 R >>\nendobj\n")
+    streamObj(4, cmapBytes)
+    beginObj(5)
+    w("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 6 0 R >>\nendobj\n")
+    streamObj(6, content)
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
   def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
     try {

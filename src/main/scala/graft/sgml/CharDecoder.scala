@@ -23,10 +23,17 @@ object CharDecoder {
     if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xFE)
       return Decoded(new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16LE), "UTF-16LE", 2)
 
-    // 2. `<?xml … encoding="…"?>` sniff on the ASCII prefix
-    val probeLen = math.min(bytes.length, 256)
+    // 2. declared-encoding sniff on the ASCII-compatible prefix:
+    //    `<?xml … encoding="…"?>`, else (HTML/SGML) `<meta charset=…>` /
+    //    `<meta http-equiv="Content-Type" content="…; charset=…">` within
+    //    the first 1024 bytes (the WHATWG prescan window). Any name
+    //    java.nio.charset knows resolves (windows-1252, ISO-8859-x, Shift_JIS,
+    //    KOI8-R, …) — an unknown name falls through to the dialect default
+    //    rather than erroring (parse errors are rows, never task failures).
+    val probeLen = math.min(bytes.length, 1024)
     val probe = new String(bytes, 0, probeLen, StandardCharsets.ISO_8859_1)
     val enc = sniffXmlDeclEncoding(probe)
+      .orElse(if (dialect.xmlSyntax) None else sniffMetaCharset(probe))
     val cs = enc.flatMap { e =>
       try Some(Charset.forName(e)) catch { case _: Exception => None }
     }.getOrElse {
@@ -35,6 +42,16 @@ object CharDecoder {
     }
     Decoded(new String(bytes, cs), cs.name(), 0)
   }
+
+  /** HTML meta-charset prescan (simplified WHATWG algorithm): the first
+    * `charset = <name>` attribute/parameter inside a `<meta …>` tag,
+    * quoted or bare, case-insensitive — covers both the HTML5 shorthand
+    * and the http-equiv Content-Type form. */
+  private val MetaCharsetRe =
+    "(?is)<meta[^>]*?charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9][A-Za-z0-9._-]*)".r
+
+  private[sgml] def sniffMetaCharset(probe: String): Option[String] =
+    MetaCharsetRe.findFirstMatchIn(probe).map(_.group(1))
 
   private[sgml] def sniffXmlDeclEncoding(probe: String): Option[String] = {
     if (!probe.startsWith("<?xml")) return None

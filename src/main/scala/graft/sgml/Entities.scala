@@ -100,13 +100,23 @@ object Entities {
     b.result()
   }
 
+  /** Full WHATWG HTML5 table (2125 names, generated from the public
+    * entities.json data — Html5Entities.scala); a strict superset of the
+    * HTML 4.01 set plus case-sensitive aliases (`Gt`, `longrightarrow`,
+    * `varnothing`, …). Scoped to the html5/xhtml5 dialects so html4
+    * keeps its faithful 252-name table. */
+  val html5: Map[String, String] = Html5Entities.table ++ xml
+
   /** Resolve a named entity for a dialect + DTD. Returns the replacement
     * text, or None if undeclared. DTD-declared entities take priority
     * (they are re-tokenized by the caller, per SGML replacement-text
     * semantics); table entities are plain character data. */
   def resolve(name: String, dialect: Dialect, dtd: Dtd): Option[String] =
-    dtd.entities.get(name)
-      .orElse(if (dialect.htmlEntities) html.get(name) else xml.get(name))
+    dtd.entities.get(name).orElse {
+      if (!dialect.htmlEntities) xml.get(name)
+      else if (dialect == Dialect.Html5 || dialect == Dialect.Xhtml5) html5.get(name)
+      else html.get(name)
+    }
 
   /** Numeric character reference body (after `&#`) → string, or None. */
   def charRef(body: String): Option[String] = {

@@ -312,6 +312,38 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](Similarity.probeMasks(6, -1))
   }
 
+  test("image header sniffing: PNG/GIF/JPEG dimensions from real bytes") {
+    import graft.ops.MediaOps
+    // PNG: writer → sniffer round trip, arbitrary dims
+    for ((w, h) <- Seq((16, 16), (1039, 17), (640, 480))) {
+      val png = MediaOps.pngHeader(w, h) ++ Array.fill[Byte](10)(0x5a)
+      assert(MediaOps.sniffImage(png) === Some(("image/png", w, h)))
+    }
+    // GIF89a: logical screen descriptor is little-endian
+    val gif = "GIF89a".getBytes("ASCII") ++
+      Array[Byte](0x34, 0x12, 0x78, 0x56) ++ new Array[Byte](16)
+    assert(MediaOps.sniffImage(gif) === Some(("image/gif", 0x1234, 0x5678)))
+    // JPEG: SOI, APP0 segment, then SOF0 (len, precision, height, width)
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xE0.toByte, 0x00, 0x10) ++ new Array[Byte](14) ++
+      Array[Byte](0xFF.toByte, 0xC0.toByte, 0x00, 0x11, 0x08,
+        0x01, 0xE0.toByte, /*h=480*/ 0x02, 0x80.toByte /*w=640*/) ++
+      new Array[Byte](20)
+    assert(MediaOps.sniffImage(jpeg) === Some(("image/jpeg", 640, 480)))
+    // non-image bytes fall through to None (stub path)
+    assert(MediaOps.sniffImage("RIFFxxxxWAVE".getBytes("ASCII")) === None)
+    assert(MediaOps.sniffImage(Array.emptyByteArray) === None)
+    // synthetic PNG assets carry real headers: decode = header parse
+    val pngMeta = MediaOps.decodeStub(MediaOps.syntheticAssets(spark, sf))
+      .filter(_.mime == "image/png").collect()
+    assert(pngMeta.nonEmpty)
+    pngMeta.foreach { m =>
+      assert(m.width >= 16 && m.width < 16 + 1024)
+      assert(m.height >= 16 && m.height < 16 + 1024)
+      assert(m.n_frames === 1)
+    }
+  }
+
   test("media stub pipeline: deterministic metadata, joinable to spans") {
     import graft.ops.MediaOps
     val meta = MediaOps.decodeStub(MediaOps.syntheticAssets(spark, sf))

@@ -40,6 +40,45 @@ class PdfSpec extends AnyFunSuite {
     assert(r.text == "page one\npage two\npage three")
   }
 
+  test("ToUnicode CMap: embedded-font codes decode through bfchar/bfrange") {
+    // "fghi" = sequential bfrange (len 4), "XY" = array-form bfrange
+    // (len 2), the rest singleton bfchars (incl. a non-Latin-1 arrow)
+    val text = "Héllo ⟶ fghi XY!"
+    for (compress <- Seq(true, false)) {
+      val r = Pdf.extractText(PdfWriter.cmapPage(text, compress))
+      assert(r.text == text, s"compress=$compress")
+      assert(r.nPages == 1 && r.errors.isEmpty)
+    }
+    // all three entry forms were actually generated for this text
+    val raw = new String(
+      Pdf.parse(PdfWriter.cmapPage(text, compress = false)).objects.values
+        .collectFirst { case s: Pdf.PStream
+          if !s.dict.m.contains("Type") && new String(s.raw, "ISO-8859-1").contains("begincmap") => s.raw }
+        .get, "ISO-8859-1")
+    assert(raw.contains("beginbfchar") && raw.contains("beginbfrange"))
+    assert(raw.contains("[<0058> <0059>]")) // the XY array-form range
+    // 1-byte codespace CMaps decode too, with Latin-1 fallback for
+    // unmapped codes (mojibake stays visible, not silently dropped)
+    val one = Pdf.parseCMap(
+      ("begincodespacerange <00> <FF> endcodespacerange\n" +
+        "2 beginbfchar <41> <0042> <42> <0041> endbfchar").getBytes("ISO-8859-1"))
+    assert(one.codeBytes == 1)
+    assert(one.decode("ABC".getBytes("ISO-8859-1")) == "BAC")
+    // property: arbitrary BMP text round-trips through the CMap path
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 30) {
+      val n = 1 + rng.nextInt(60)
+      val s = new String((0 until n).map { _ =>
+        rng.nextInt(3) match {
+          case 0 => ('a' + rng.nextInt(26)).toChar
+          case 1 => (0xA0 + rng.nextInt(0x500)).toChar
+          case _ => (0x2190 + rng.nextInt(0x400)).toChar
+        }
+      }.toArray)
+      assert(Pdf.extractText(PdfWriter.cmapPage(s)).text == s)
+    }
+  }
+
   test("property: random unicode round-trips exactly") {
     val rng = new scala.util.Random(11)
     for (_ <- 1 to 100) {

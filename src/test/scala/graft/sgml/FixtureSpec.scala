@@ -258,6 +258,62 @@ class FixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("F12b declared encodings beyond Latin-1: xml-decl + html meta") {
+    // xml-decl naming a non-Latin-1 charset: ISO-8859-2 (ő is 0xF5 there,
+    // a different character than Latin-1's õ)
+    val c = cfg(Dialect.Xml)
+    val iso2 = "<?xml version=\"1.0\" encoding=\"ISO-8859-2\"?><d>hőség</d>"
+      .getBytes("ISO-8859-2")
+    assert(SgmlParser.parseBytes(iso2, c).spans(c).map(_.text) == Vector("hőség"),
+      "ISO-8859-2 must decode per its own table, not Latin-1's")
+    // semantics pin: identical to new String(bytes, cs) on the payload
+    assert(new String("hőség".getBytes("ISO-8859-2"), "ISO-8859-2") == "hőség")
+    // HTML5 meta shorthand: windows-1252 (€ is 0x80 there, undefined in
+    // Latin-1) — meta prescan only applies to non-XML dialects
+    val h = cfg(Dialect.Html4, SpaceMode.Preserve)
+    val w1252 = "<html><head><meta charset=windows-1252></head><body><p>€99</p></body></html>"
+      .getBytes("windows-1252")
+    assert(SgmlParser.parseBytes(w1252, h).spans(h).map(_.text) == Vector("€99"))
+    // http-equiv Content-Type form, quoted, mixed case
+    val httpEquiv = ("<html><head><META HTTP-EQUIV=\"Content-Type\" " +
+      "CONTENT=\"text/html; charset=Windows-1252\"></head><body><p>€5</p></body></html>")
+      .getBytes("windows-1252")
+    assert(SgmlParser.parseBytes(httpEquiv, h).spans(h).map(_.text) == Vector("€5"))
+    // unknown declared name: graceful fall-through to the dialect default
+    val bogus = "<html><head><meta charset=not-a-charset></head><body><p>ok</p></body></html>"
+      .getBytes("ISO-8859-1")
+    assert(SgmlParser.parseBytes(bogus, h).spans(h).map(_.text) == Vector("ok"))
+    // direct sniff unit checks
+    assert(CharDecoder.sniffMetaCharset("<meta charset='koi8-r'>") == Some("koi8-r"))
+    assert(CharDecoder.sniffMetaCharset("<p>charset=fake</p>") == None)
+  }
+
+  test("F12c html5 dialect: WHATWG entity table + void elements") {
+    // spot-pin known WHATWG values (case-sensitive names, multi-codepoint)
+    assert(Entities.html5("longrightarrow") == "⟶")
+    assert(Entities.html5("Gt") == "≫") // ≫ — distinct from gt
+    assert(Entities.html5("gt") == ">")
+    assert(Entities.html5("varnothing") == "∅")
+    assert(Entities.html5("fjlig") == "fj") // two-codepoint expansion
+    assert(Entities.html5("NotEqualTilde") == "≂̸")
+    assert(Entities.html5.size > 2000) // the full table, not a sampler
+    // html5 parses HTML5-only entities + void elements error-free
+    val h5 = cfg(Dialect.Html5, SpaceMode.Preserve)
+    val doc = "<html><body><p>x &longrightarrow; y</p>" +
+      "<audio><source src=a.ogg><track kind=captions></audio>" +
+      "<p>tail</p></body></html>"
+    val r5 = SgmlParser.spans(doc, h5)
+    assert(r5._2.isEmpty, r5._2)
+    assert(r5._1.map(_.text).mkString == "x ⟶ ytail")
+    // html4 behavior unchanged: same entity is UNDECLARED there (kept as
+    // an entity node), and the 4.01 names still resolve in both dialects
+    val h4 = cfg(Dialect.Html4, SpaceMode.Preserve)
+    val r4 = SgmlParser.spans("<p>x &longrightarrow; y &eacute;</p>", h4)
+    assert(r4._1.exists(s => s.kind == "entity" && s.text == "longrightarrow"))
+    assert(SgmlParser.spans("<p>&eacute;&nbsp;</p>", h5)._1.map(_.text).mkString
+      == "é ")
+  }
+
   test("F13 malformed recovery: unclosed <b> repaired at </p>") {
     val (spans, errs) = SgmlParser.spans("<p>a <b>bold</p> tail",
       cfg(Dialect.Html4, SpaceMode.SgmlMode))
