@@ -113,15 +113,26 @@ final case class ElementDef(
   }
 
   /** Declarations that require ACTION when the attribute is absent
-    * (#FIXED / literal default → inject; #REQUIRED → error). Pre-split so
+    * (#FIXED / literal default → inject; #REQUIRED → error; #CURRENT →
+    * inject the most recently specified value or error). Pre-split so
     * the per-start-tag defaulting pass skips elements whose attlist is
     * all-#IMPLIED (the common case once core attrs are declared on every
     * element) — the hot path stays allocation-free for attr-less tags. */
   @transient lazy val actionAttrs: Array[AttrDecl] =
     attrs.valuesIterator.filter(d => d.default match {
-      case AttrDefault.Fixed(_) | AttrDefault.Value(_) | AttrDefault.Required => true
+      case AttrDefault.Fixed(_) | AttrDefault.Value(_) | AttrDefault.Required |
+           AttrDefault.Current => true
       case _ => false
     }).toArray
+
+  /** Names of #CONREF attributes (ISO 8879 content-reference: when one is
+    * SPECIFIED the element's content is empty — no end tag expected).
+    * Empty for every HTML/XML element, so the open path pays one length
+    * check. */
+  @transient lazy val conrefAttrs: Array[String] =
+    attrs.valuesIterator.collect {
+      case d if d.default == AttrDefault.Conref => d.name
+    }.toArray
 }
 
 object ElementDef {

@@ -109,8 +109,14 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
     // 4. advance parent's DFA
     stepParent(localOf(name), off)
 
-    // 5. push or immediately close (D4)
-    val isEmpty = edef.exists(_.content == ContentKind.Empty)
+    // 5. push or immediately close (D4). A SPECIFIED #CONREF attribute
+    // makes the element's content empty (ISO 8879 content reference —
+    // the attribute points at the content, so no end tag is expected).
+    val isEmpty = edef.exists { e =>
+      e.content == ContentKind.Empty ||
+        (e.conrefAttrs.length > 0 && e.conrefAttrs.exists(n =>
+          rawAttrs.exists(ra => localOf(ra.name) == n)))
+    }
     val node = Node.Elem(name, attrs, TreeBuilder.NoChildren, off)
     if (selfClosing || isEmpty) {
       addChildNode(node)
@@ -446,11 +452,21 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
       if (indexOf(qn) >= 0) log.add("duplicate-attribute", ra.off, ra.name)
       else {
         val rawVal = ra.value.getOrElse(ra.name) // minimized: value = name
-        out += Attr(qn, convertAttr(rawVal, decls.get(localOf(ra.name)), ra.off))
+        val decl = decls.get(localOf(ra.name))
+        // ISO 8879 #CURRENT: a specified value becomes the default for
+        // every LATER element governed by the same declaration (name-
+        // grouped attlists share AttrDecl instances, so identity keying
+        // gives exact cross-element sharing)
+        decl match {
+          case Some(d) if d.default == AttrDefault.Current =>
+            currentVals.put(d, rawVal)
+          case _ =>
+        }
+        out += Attr(qn, convertAttr(rawVal, decl, ra.off))
       }
     }
-    // attribute defaulting: #FIXED / literal defaults injected; #REQUIRED
-    // enforced (`parser.c — add_default_attributes` [V])
+    // attribute defaulting: #FIXED / literal / #CURRENT defaults injected;
+    // #REQUIRED enforced (`parser.c — add_default_attributes` [V])
     var i = 0
     while (i < actions.length) {
       val d = actions(i)
@@ -458,12 +474,23 @@ final class TreeBuilder(cfg: ParserConfig, holder: DtdHolder, log: ErrorLog) {
         case AttrDefault.Fixed(v) => out += Attr(d.name, convertAttr(v, Some(d), off))
         case AttrDefault.Value(v) => out += Attr(d.name, convertAttr(v, Some(d), off))
         case AttrDefault.Required => log.add("required-attribute-missing", off, s"$rawName/${d.name}")
+        case AttrDefault.Current =>
+          val v = currentVals.get(d)
+          if (v != null) out += Attr(d.name, convertAttr(v, Some(d), off))
+          // omitted before any value was specified: an error per ISO 8879
+          else log.add("current-attribute-no-value", off, s"$rawName/${d.name}")
         case _ =>
       }
       i += 1
     }
     out.toList
   }
+
+  /** #CURRENT attribute state (per document): declaration → most recently
+    * specified value. IdentityHashMap because the key IS the declaration
+    * instance (shared across a name-grouped attlist). Empty for HTML/XML
+    * (no #CURRENT in those DTDs) — one null-check per defaulted attr. */
+  private val currentVals = new java.util.IdentityHashMap[AttrDecl, String]()
 
   private def convertAttr(v0: String, decl: Option[AttrDecl], off: Int): AttrValue = {
     import AttrType._

@@ -209,6 +209,53 @@ class FixtureSpec extends AnyFunSuite {
     assert(xml.contains("type=\"text\""))
   }
 
+  test("F10c SGML #CURRENT and #CONREF attribute defaults") {
+    val c = cfg(Dialect.Sgml)
+    val doc = """<!DOCTYPE d [
+      |<!ELEMENT d - - (p|ref)*>
+      |<!ELEMENT (p|q) - O (#PCDATA)>
+      |<!ELEMENT ref - O (#PCDATA)>
+      |<!ATTLIST (p|q) cls CDATA #CURRENT>
+      |<!ATTLIST ref doc CDATA #CONREF>
+      |]><d><p>zero</p><p cls="a">one</p><q>two</q><ref doc="other"><p>three</p></d>"""
+      .stripMargin.replace("\n", " ")
+    val r = SgmlParser.parse(doc, c)
+    def elems(n: Node): Vector[Node.Elem] = n match {
+      case e: Node.Elem => e +: e.children.toVector.flatMap(elems)
+      case _ => Vector.empty
+    }
+    val all = r.content.flatMap(elems)
+    def clsOf(e: Node.Elem): Option[String] =
+      e.attrs.collectFirst { case Attr("cls", v) => v.render }
+    val ps = all.filter(e => e.name == "p" || e.name == "q")
+    assert(ps.length == 4) // zero, one, two, three (after the conref ref)
+    // before any specified value: omission is an error, nothing injected
+    assert(clsOf(ps(0)).isEmpty)
+    assert(r.errors.exists(_.code == "current-attribute-no-value"))
+    // specified on <p cls="a"> → becomes the default for every LATER
+    // element sharing the name-grouped declaration (incl. <q>)
+    assert(clsOf(ps(1)).contains("a"))
+    assert(clsOf(ps(2)).contains("a"))
+    assert(clsOf(ps(3)).contains("a"))
+    // #CONREF specified → content empty, no end tag expected: the <p>
+    // after <ref doc=…> is a SIBLING (child of d), not ref's child
+    val ref = all.find(_.name == "ref").get
+    assert(ref.children.isEmpty)
+    assert(ps(0).children.nonEmpty) // sanity: normal elements keep content
+    val d = all.find(_.name == "d").get
+    assert(d.children.collect { case e: Node.Elem => e.name } ==
+      Vector("p", "p", "q", "ref", "p"))
+    // #CONREF omitted → the element takes normal content
+    val doc2 = """<!DOCTYPE d [
+      |<!ELEMENT d - - (ref)*>
+      |<!ELEMENT ref - O (#PCDATA)>
+      |<!ATTLIST ref doc CDATA #CONREF>
+      |]><d><ref>inline content</ref></d>""".stripMargin.replace("\n", " ")
+    val r2 = SgmlParser.parse(doc2, c)
+    val ref2 = r2.content.flatMap(elems).find(_.name == "ref").get
+    assert(ref2.children.nonEmpty)
+  }
+
   test("F21 sgml NET-enabling start tag: <b/bold/ closes at the bare slash") {
     val c = cfg(Dialect.Sgml)
     val r = SgmlParser.parse("<d>x <b/bold/ y</d>", c)
