@@ -294,6 +294,8 @@ object SparkEntry {
       TextOps.fingerprints(s, dir).select(col("doc_id"),
         col("fingerprint")(0).as("fp_min"), size(col("fingerprint")).as("fp_len"))),
     "t7_pii_scrub" -> ((s, dir) => TextOps.piiScrub(s, dir)),
+    "t8_url_extract" -> ((s, dir) => TextOps.urlExtract(s, dir)),
+    "t9_repetition" -> ((s, dir) => TextOps.repetitionSignals(s, dir)),
 
     // ---- deterministic sampling (restart-stable corpus downsampling) ------
     "s1_stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -758,6 +760,49 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(pii_text, '$Ipv4Re')) AS BIGINT) AS n_ips
         |FROM p""".stripMargin
     },
+    // URL patterns interpolated from TextOps — one source of truth, RE2-safe
+    "t8_url_extract" -> {
+      import TextOps.{UrlRe, UrlHostRe}
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    text || ' see https://WWW.Example' || (doc_id % 50) ||
+        |    '.com/p' || doc_id || '?x=1' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN ' and http://sub.site' || (doc_id % 7) || '.org'
+        |         ELSE '' END AS url_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(url_text, '$UrlRe')) AS BIGINT) AS n_urls,
+        |  regexp_extract(url_text, '$UrlRe') AS first_url,
+        |  regexp_replace(lower(regexp_extract(url_text, '$UrlHostRe', 1)),
+        |    '^www\\.', '') AS first_host
+        |FROM u""".stripMargin
+    },
+    "t9_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS words
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, words,
+        |    CASE WHEN len(words) >= 3
+        |      THEN list_transform(range(1, len(words) - 1),
+        |             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |      ELSE []::VARCHAR[] END AS tris
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+        |  CAST(len(tris) AS BIGINT) AS n_trigrams,
+        |  CAST(len(tris) - len(list_distinct(tris)) AS BIGINT) AS n_dup_trigrams,
+        |  CAST(CASE WHEN len(words) > 0
+        |    THEN (1000 * len(list_distinct(words))) // len(words)
+        |    ELSE 1000 END AS BIGINT) AS distinct_word_permille,
+        |  CAST(CASE WHEN len(tris) > 0
+        |    THEN (1000 * (len(tris) - len(list_distinct(tris)))) // len(tris)
+        |    ELSE 0 END AS BIGINT) AS dup_trigram_permille
+        |FROM t""".stripMargin,
     "s1_stratified_sample" ->
       s"""SELECT doc_id, source,
         |  ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})

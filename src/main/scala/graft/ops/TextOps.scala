@@ -142,6 +142,74 @@ object TextOps {
         col("n_emails"), col("n_phones"), col("n_ips"))
   }
 
+  // ---- URL extraction / normalization -------------------------------------
+  // RE2-safe (character classes only) and shared verbatim with the t8
+  // oracle, same contract as the PII patterns above.
+  val UrlRe: String = "https?://[A-Za-z0-9.-]+[A-Za-z0-9/._?=&%-]*"
+  val UrlHostRe: String = "https?://([A-Za-z0-9.-]+)"
+
+  /** Extract + normalize URLs from `textCol`: match count, first URL, and
+    * its normalized host (lowercased, leading `www.` stripped — the key a
+    * web-corpus pipeline dedups/filters by). Narrow codegen'd regexps, no
+    * shuffle — the shape of a 100 TB URL pass. */
+  def withUrls(d: DataFrame, textCol: String = "text"): DataFrame =
+    d.withColumn("n_urls", regexp_count(col(textCol), lit(UrlRe)).cast("long"))
+      .withColumn("first_url", regexp_extract(col(textCol), UrlRe, 0))
+      .withColumn("first_host",
+        regexp_replace(lower(regexp_extract(col(textCol), UrlHostRe, 1)),
+          "^www\\.", ""))
+
+  /** The t8 query: corpus text carries no URLs, so a deterministic URL
+    * suffix is synthesized from doc_id (same closed-form trick as t7's
+    * PII) — mixed-case host to prove normalization, a second URL on even
+    * ids to prove counting. */
+  def urlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val withText = d.withColumn("url_text", concat(
+      col("text"),
+      lit(" see https://WWW.Example"), pmod(col("doc_id"), lit(50)),
+      lit(".com/p"), col("doc_id"), lit("?x=1"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit(" and http://sub.site"), pmod(col("doc_id"), lit(7)), lit(".org")))
+        .otherwise(lit(""))))
+    withUrls(withText, "url_text")
+      .select(col("doc_id"), col("n_urls"), col("first_url"), col("first_host"))
+  }
+
+  // ---- repetition signals (Gopher-style quality filters) -------------------
+
+  /** Duplicate-n-gram and vocabulary-diversity signals: the fraction of
+    * repeated word trigrams and the distinct-word ratio, in integer
+    * per-mille (exactly replicable in SQL — no float division). A
+    * boilerplate/template page scores high dup_trigram_permille and low
+    * distinct_word_permille; both are standard web-corpus quality-filter
+    * inputs. Narrow higher-order array ops, zero shuffles. */
+  def withRepetition(d: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)
+    d.withColumn("__w", words)
+      .withColumn("__t", when(size(col("__w")) >= 3,
+        transform(sequence(lit(1), size(col("__w")) - 2), i =>
+          concat_ws(" ", element_at(col("__w"), i),
+            element_at(col("__w"), i + 1), element_at(col("__w"), i + 2))))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("n_distinct_words", size(array_distinct(col("__w"))).cast("long"))
+      .withColumn("n_trigrams", size(col("__t")).cast("long"))
+      .withColumn("n_dup_trigrams",
+        (size(col("__t")) - size(array_distinct(col("__t")))).cast("long"))
+      .withColumn("distinct_word_permille",
+        when(col("n_words") > 0, expr("(1000 * n_distinct_words) div n_words"))
+          .otherwise(lit(1000L)))
+      .withColumn("dup_trigram_permille",
+        when(col("n_trigrams") > 0, expr("(1000 * n_dup_trigrams) div n_trigrams"))
+          .otherwise(lit(0L)))
+      .drop("__w", "__t")
+  }
+
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame =
+    withRepetition(documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .drop("text")
+
   /** Rolling-hash document fingerprint (winnowing-style): Rabin-Karp over
     * code-point 16-grams with base-31 mod-P arithmetic (P prime > 2^32 —
     * no native overflow wrap, so the exact same values are computable in

@@ -99,6 +99,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, failures.mkString("\n  ", "\n  ", "\n"))
   }
 
+  test("mega-bucket valve plans a semi-join BEFORE the collect aggregation") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    val sh = udf((t: String) => Dedup.simhash(t))
+    val hashes = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), sh(col("text")).as("simhash"))
+    def ops(maxBucket: Int): Seq[String] =
+      Dedup.simhashPairsOf(hashes, maxBucket = maxBucket)
+        .queryExecution.executedPlan.collect { case p => p.getClass.getSimpleName }
+    // valve off (default): no semi join, the pinned d5 shape
+    assert(!ops(Int.MaxValue).exists(_.contains("ShuffledHashJoin") ||
+      ops(Int.MaxValue).exists(_.contains("SortMergeJoin"))))
+    // valve on: a size-gating join appears and nothing degrades to
+    // cartesian — the structural guarantee that a hot bucket is filtered
+    // out before any collect_list buffers it
+    val capped = ops(1000)
+    assert(capped.exists(n => n.contains("ShuffledHashJoin") ||
+      n.contains("SortMergeJoin") || n.contains("BroadcastHashJoin")), capped)
+    assert(!capped.exists(_ == "CartesianProductExec"))
+  }
+
   test("flagship extract leg is a single stage: zero exchanges of any kind") {
     val docs = SgmlExtract.extract(
       SgmlExtract.wrapDocuments(spark, sf),
