@@ -335,7 +335,16 @@ class SaxDifferentialSpec extends AnyFunSuite {
       "utf16le-bom" -> ("\uFEFF" + body).getBytes(StandardCharsets.UTF_16LE),
       "latin1-declared" ->
         ("<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?><r>déjà ±</r>")
-          .getBytes(StandardCharsets.ISO_8859_1))
+          .getBytes(StandardCharsets.ISO_8859_1),
+      // r3 declared-encoding breadth: charsets whose byte→char tables
+      // DIFFER from Latin-1 on the payload bytes — a decoder that falls
+      // back to Latin-1 fails these against SAX
+      "iso-8859-2-declared" ->
+        ("<?xml version=\"1.0\" encoding=\"ISO-8859-2\"?><r>hőség ťava ľad</r>")
+          .getBytes(java.nio.charset.Charset.forName("ISO-8859-2")),
+      "windows-1252-declared" ->
+        ("<?xml version=\"1.0\" encoding=\"windows-1252\"?><r>€99 — “quoted”</r>")
+          .getBytes(java.nio.charset.Charset.forName("windows-1252")))
     cases.foreach { case (label, bytes) =>
       val f = SAXParserFactory.newInstance()
       f.setNamespaceAware(false)
