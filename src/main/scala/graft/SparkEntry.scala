@@ -315,10 +315,13 @@ object SparkEntry {
     "m1_media_meta" -> ((s, dir) => {
       MediaOps.decodeStub(MediaOps.syntheticAssets(s, dir)).toDF()
         .select(col("media_ref"), col("mime"), col("byte_len"),
-          col("width"), col("height"), col("n_frames"))
+          col("width"), col("height"), col("n_frames"),
+          col("channels"), col("sample_rate"))
     }),
     "m2_media_resize" -> ((s, dir) =>
-      MediaOps.resizeMeta(MediaOps.decodeStub(MediaOps.syntheticAssets(s, dir)).toDF())
+      // visual assets only: audio has no dimensions (width = 0)
+      MediaOps.resizeMeta(MediaOps.decodeStub(MediaOps.syntheticAssets(s, dir)).toDF()
+          .filter(col("width") > 0))
         .select(col("media_ref"), col("width"), col("height"),
           col("resized_w"), col("resized_h"))),
     "m3_frame_sample" -> ((s, dir) =>
@@ -443,12 +446,12 @@ object SparkEntry {
       |    GROUP BY d0.doc_id) d)""".stripMargin
 
   // Synthetic media assets + decode rebuilt in SQL (mirrors
-  // graft.ops.MediaOps: base-31 seed over the decimal doc_id, closed-form
-  // byte stream, base-31 byte hash mod P → stub dimensions/frames for
-  // audio/video). PNG dimensions are the closed-form (seed-derived)
-  // values the asset WRITER embeds into the real IHDR header — the Spark
-  // side reads them back out of the bytes (MediaOps.sniffImage), so
-  // matching here verifies the write→sniff round trip end-to-end.
+  // graft.ops.MediaOps: base-31 seed over the decimal doc_id). Every
+  // metadata value below is the closed-form (seed-derived) value the
+  // asset WRITER embeds into a REAL format header (PNG IHDR, WAV fmt
+  // chunk, MP4 mvhd/tkhd boxes) — the Spark side reads them back out of
+  // the actual bytes (sniffImage/sniffWav/sniffMp4), so matching here
+  // verifies the write→sniff round trip end-to-end for all three types.
   private val mediaCtes: String =
     s"""ma AS (
       |  SELECT CAST(doc_id AS VARCHAR) AS id,
@@ -458,38 +461,38 @@ object SparkEntry {
       |      (h, cp) -> (h * 31 + cp) % 4294967296) AS seed
       |  FROM documents),
       |mb AS (
-      |  SELECT id, seed, 64 + seed % 192 AS len,
+      |  SELECT id, seed,
       |    CASE seed % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
-      |         ELSE 'video/mp4' END AS mime
+      |         ELSE 'video/mp4' END AS mime,
+      |    CASE seed % 3 WHEN 2 THEN 256 + seed % 192
+      |         ELSE 64 + seed % 192 END AS len
       |  FROM ma),
-      |mh AS (
-      |  SELECT id, seed, len, mime,
-      |    list_reduce(list_prepend(0::BIGINT,
-      |      list_transform(range(len),
-      |        j -> (seed + (j + 1) * ${MediaOps.MediaK}) % ${MediaOps.MediaP} % 256)),
-      |      (acc, x) -> (acc * 31 + x) % ${MediaOps.MediaP}) AS hh
-      |  FROM mb),
       |mm AS (
       |  SELECT '${SgmlExtract.AssetPrefix}' || id || '${SgmlExtract.AssetSuffix}' AS media_ref,
       |    mime, CAST(len AS INTEGER) AS byte_len,
-      |    CAST(CASE WHEN mime = 'image/png' THEN 16 + seed % 1024
-      |         ELSE 16 + hh % 1024 END AS INTEGER) AS width,
-      |    CAST(CASE WHEN mime = 'image/png' THEN 16 + (seed // 1024) % 1024
-      |         ELSE 16 + (hh // 1024) % 1024 END AS INTEGER) AS height,
-      |    CAST(CASE WHEN mime LIKE 'video%' THEN 1 + (hh // 1048576) % 300
-      |         ELSE 1 END AS INTEGER) AS n_frames
-      |  FROM mh)""".stripMargin
+      |    CAST(CASE WHEN mime = 'audio/wav' THEN 0
+      |         ELSE 16 + seed % 1024 END AS INTEGER) AS width,
+      |    CAST(CASE WHEN mime = 'audio/wav' THEN 0
+      |         ELSE 16 + (seed // 1024) % 1024 END AS INTEGER) AS height,
+      |    CAST(CASE WHEN mime LIKE 'video%' THEN 1 + (seed // 3) % 300
+      |         ELSE 1 END AS INTEGER) AS n_frames,
+      |    CAST(CASE WHEN mime = 'audio/wav' THEN 1 + seed % 2
+      |         ELSE 0 END AS INTEGER) AS channels,
+      |    CAST(CASE WHEN mime = 'audio/wav' THEN 8000 + (seed % 8) * 4000
+      |         ELSE 0 END AS INTEGER) AS sample_rate
+      |  FROM mb)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "m1_media_meta" ->
       s"""WITH $mediaCtes
-        |SELECT media_ref, mime, byte_len, width, height, n_frames FROM mm""".stripMargin,
+        |SELECT media_ref, mime, byte_len, width, height, n_frames,
+        |  channels, sample_rate FROM mm""".stripMargin,
     "m2_media_resize" ->
       s"""WITH $mediaCtes,
         |sc AS (
         |  SELECT media_ref, width, height,
         |    LEAST(256000000 / width, 256000000 / height, 1000000) AS s
-        |  FROM mm)
+        |  FROM mm WHERE width > 0)
         |SELECT media_ref, width, height,
         |  GREATEST(1, CAST(FLOOR(width * s / 1000000) AS INTEGER)) AS resized_w,
         |  GREATEST(1, CAST(FLOOR(height * s / 1000000) AS INTEGER)) AS resized_h

@@ -342,6 +342,25 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(m.height >= 16 && m.height < 16 + 1024)
       assert(m.n_frames === 1)
     }
+    // WAV: writer → sniffer round trip (fmt chunk, little-endian)
+    val wav = MediaOps.wavHeader(2, 44100, 200) ++ new Array[Byte](156)
+    assert(MediaOps.sniffWav(wav) === Some((2, 44100)))
+    assert(MediaOps.sniffWav("noise not riff at all........".getBytes("ASCII")) === None)
+    // MP4: writer → sniffer round trip (mvhd frames, tkhd 16.16 dims)
+    val mp4 = MediaOps.mp4Header(640, 480, 90) ++ new Array[Byte](64)
+    assert(MediaOps.sniffMp4(mp4) === Some((640, 480, 90)))
+    assert(MediaOps.sniffMp4(new Array[Byte](64)) === None)
+    // the synthetic corpus: every asset's header metadata parses REAL
+    val metaAll = MediaOps.decodeStub(MediaOps.syntheticAssets(spark, sf)).collect()
+    metaAll.filter(_.mime == "audio/wav").foreach { m =>
+      assert(m.width === 0 && m.height === 0)
+      assert(m.channels >= 1 && m.channels <= 2)
+      assert(m.sample_rate >= 8000 && m.sample_rate <= 36000)
+    }
+    metaAll.filter(_.mime == "video/mp4").foreach { m =>
+      assert(m.width >= 16 && m.n_frames >= 1 && m.n_frames <= 300)
+      assert(m.byte_len >= 256)
+    }
   }
 
   test("media stub pipeline: deterministic metadata, joinable to spans") {
@@ -349,7 +368,8 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     val meta = MediaOps.decodeStub(MediaOps.syntheticAssets(spark, sf))
     val rows = meta.collect()
     assert(rows.length == 500)
-    assert(rows.forall(m => m.width >= 16 && m.feature.length == 8))
+    assert(rows.forall(m => m.feature.length == 8))
+    assert(rows.forall(m => if (m.mime == "audio/wav") m.sample_rate > 0 else m.width >= 16))
     // deterministic: same input → same output
     val again = MediaOps.decodeStub(MediaOps.syntheticAssets(spark, sf)).collect()
     assert(rows.map(_.media_ref).sorted.sameElements(again.map(_.media_ref).sorted))
@@ -361,6 +381,7 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("media resize + frame sampling: aspect preserved, stride respected") {
     import graft.ops.MediaOps
     val meta = MediaOps.decodeStub(MediaOps.syntheticAssets(spark, sf)).toDF()
+      .filter(col("width") > 0) // visual assets only: audio has no dims
     val resized = MediaOps.resizeMeta(meta, maxW = 256, maxH = 256).collect()
     assert(resized.nonEmpty)
     resized.foreach { r =>
