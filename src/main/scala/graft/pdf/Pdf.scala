@@ -23,10 +23,13 @@ import scala.collection.mutable
   *    when the selected font carries a /ToUnicode CMap, show strings
   *    decode through it (codespacerange width, bfchar pairs, bfrange in
   *    both sequential and array form — the common embedded/subset-font
-  *    shapes); without a CMap, strings decode as UTF-16BE when
-  *    BOM-prefixed, Latin-1 otherwise. Not interpreted: /Encoding
-  *    /Differences arrays and predefined CID CMap names (rare in crawled
-  *    text PDFs relative to ToUnicode, which writers emit for copy-paste).
+  *    shapes); simple fonts with /Encoding /Differences decode through
+  *    the override table (glyph names via the uniXXXX convention + a
+  *    curated AGL subset, WinAnsi/Latin-1 base); without either, strings
+  *    decode as UTF-16BE when BOM-prefixed, Latin-1 otherwise. Not
+  *    interpreted: predefined CID CMap names (Identity-H ordering tables
+  *    etc. — rare in crawled text PDFs relative to ToUnicode, which
+  *    writers emit for copy-paste).
   */
 object Pdf {
 
@@ -119,19 +122,146 @@ object Pdf {
         case Some(_) => Array.emptyByteArray
       }
 
-    /** /ToUnicode CMaps of a page's fonts, keyed by resource name (the
-      * operand of Tf). Only the page's own /Resources are consulted (the
-      * writer twin and typical crawled PDFs put them there; /Pages-level
-      * inheritance is not walked). */
-    def fontCMaps(page: PDict): Map[String, CMap] =
+    /** Text decoders of a page's fonts, keyed by resource name (the
+      * operand of Tf): a /ToUnicode CMap when present (takes precedence —
+      * it is the authoritative extraction map), else a simple /Encoding
+      * with /Differences. Only the page's own /Resources are consulted
+      * (the writer twin and typical crawled PDFs put them there;
+      * /Pages-level inheritance is not walked). */
+    def fontDecoders(page: PDict): Map[String, TextDecoder] =
       (for {
         res <- page.get("Resources").flatMap(dictOf).toSeq
         fonts <- res.get("Font").flatMap(dictOf).toSeq
         (name, fref) <- fonts.m.toSeq
         fd <- dictOf(fref).toSeq
-        tu <- fd.get("ToUnicode").map(resolve).toSeq.collect { case s: PStream => s }
-      } yield name -> parseCMap(decodeStream(tu))).toMap
+        dec <- decoderOf(fd).toSeq
+      } yield name -> dec).toMap
+
+    private def decoderOf(fd: PDict): Option[TextDecoder] = {
+      val viaCMap = fd.get("ToUnicode").map(resolve).collect {
+        case s: PStream => parseCMap(decodeStream(s))
+      }
+      viaCMap.orElse {
+        fd.get("Encoding").map(resolve).flatMap {
+          case enc: PDict =>
+            val base = enc.get("BaseEncoding") match {
+              case Some(PName(n)) => n
+              case _ => ""
+            }
+            enc.get("Differences").map(resolve) match {
+              case Some(PArr(items)) => Some(parseDifferences(items, base))
+              case _ => None // bare base encoding: default decode is fine
+            }
+          case _ => None // named encodings ≈ Latin-1/WinAnsi default path
+        }
+      }
+    }
   }
+
+  /** A per-font show-string decoder (ToUnicode CMap or simple-encoding
+    * /Differences table). */
+  sealed trait TextDecoder { def decode(b: Array[Byte]): String }
+
+  /** Simple-font /Differences decoding: a 256-slot override table on top
+    * of the base single-byte encoding (WinAnsi ≈ windows-1252, else
+    * Latin-1). Glyph names resolve via the `uniXXXX`/`uXXXXXX` convention
+    * and a curated Adobe-Glyph-List subset; unresolvable names decode to
+    * U+FFFD (visible, not silent). */
+  final class DiffEncoding(overrides: Array[String], base: java.nio.charset.Charset)
+      extends TextDecoder {
+    def decode(b: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(b.length)
+      var i = 0
+      while (i < b.length) {
+        val code = b(i) & 0xFF
+        val o = overrides(code)
+        if (o != null) sb.append(o)
+        else sb.append(new String(b, i, 1, base))
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  private[pdf] def parseDifferences(items: Vector[PObj], baseEncoding: String): DiffEncoding = {
+    val table = new Array[String](256)
+    var code = 0
+    items.foreach {
+      case PNum(n) => code = n.toInt
+      case PName(g) =>
+        if (code >= 0 && code < 256) {
+          table(code) = glyphToUnicode(g).getOrElse("�")
+          code += 1
+        }
+      case _ =>
+    }
+    val cs =
+      if (baseEncoding == "WinAnsiEncoding")
+        java.nio.charset.Charset.forName("windows-1252")
+      else java.nio.charset.StandardCharsets.ISO_8859_1
+    new DiffEncoding(table, cs)
+  }
+
+  /** Glyph name → replacement text: the AGL `uniXXXX` / `uXXXX(XX)` hex
+    * conventions (exact, covers every subset-font name a modern writer
+    * emits), then a curated subset of the Adobe Glyph List for the names
+    * legacy simple fonts actually use (Latin letters/digits/punctuation
+    * are identity through the base encoding, so only non-trivial names
+    * need entries). */
+  def glyphToUnicode(g: String): Option[String] = {
+    if (g.length >= 7 && g.startsWith("uni")) {
+      try {
+        val cp = Integer.parseInt(g.substring(3, 7), 16)
+        return Some(new String(Character.toChars(cp)))
+      } catch { case _: NumberFormatException => }
+    }
+    if (g.length >= 5 && g.length <= 7 && g.charAt(0) == 'u') {
+      try {
+        val cp = Integer.parseInt(g.substring(1), 16)
+        if (cp >= 0 && cp <= 0x10FFFF) return Some(new String(Character.toChars(cp)))
+      } catch { case _: NumberFormatException => }
+    }
+    AglSubset.get(g)
+  }
+
+  private val AglSubset: Map[String, String] = Map(
+    "Euro" -> "€", "emdash" -> "—", "endash" -> "–",
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "quotesinglbase" -> "‚", "quotedblbase" -> "„",
+    "bullet" -> "•", "ellipsis" -> "…", "dagger" -> "†",
+    "daggerdbl" -> "‡", "perthousand" -> "‰",
+    "guilsinglleft" -> "‹", "guilsinglright" -> "›",
+    "guillemotleft" -> "«", "guillemotright" -> "»",
+    "trademark" -> "™", "copyright" -> "©", "registered" -> "®",
+    "degree" -> "°", "plusminus" -> "±", "mu" -> "µ",
+    "periodcentered" -> "·", "middot" -> "·",
+    "section" -> "§", "paragraph" -> "¶", "florin" -> "ƒ",
+    "cent" -> "¢", "sterling" -> "£", "yen" -> "¥",
+    "currency" -> "¤", "brokenbar" -> "¦",
+    "exclamdown" -> "¡", "questiondown" -> "¿",
+    "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â",
+    "atilde" -> "ã", "adieresis" -> "ä", "aring" -> "å",
+    "ae" -> "æ", "ccedilla" -> "ç",
+    "egrave" -> "è", "eacute" -> "é", "ecircumflex" -> "ê",
+    "edieresis" -> "ë", "igrave" -> "ì", "iacute" -> "í",
+    "icircumflex" -> "î", "idieresis" -> "ï", "eth" -> "ð",
+    "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó",
+    "ocircumflex" -> "ô", "otilde" -> "õ", "odieresis" -> "ö",
+    "divide" -> "÷", "oslash" -> "ø", "ugrave" -> "ù",
+    "uacute" -> "ú", "ucircumflex" -> "û", "udieresis" -> "ü",
+    "yacute" -> "ý", "thorn" -> "þ", "ydieresis" -> "ÿ",
+    "Agrave" -> "À", "Aacute" -> "Á", "Adieresis" -> "Ä",
+    "Aring" -> "Å", "AE" -> "Æ", "Ccedilla" -> "Ç",
+    "Egrave" -> "È", "Eacute" -> "É", "Ntilde" -> "Ñ",
+    "Odieresis" -> "Ö", "Oslash" -> "Ø", "Udieresis" -> "Ü",
+    "germandbls" -> "ß", "OE" -> "Œ", "oe" -> "œ",
+    "Scaron" -> "Š", "scaron" -> "š", "Zcaron" -> "Ž",
+    "zcaron" -> "ž", "Ydieresis" -> "Ÿ",
+    "circumflex" -> "ˆ", "tilde" -> "˜",
+    "minus" -> "−", "fraction" -> "⁄", "fi" -> "ﬁ",
+    "fl" -> "ﬂ", "space" -> " ", "nbspace" -> " ",
+    "hyphen" -> "-", "softhyphen" -> "­")
 
   // ------------------------------------------------------------- ToUnicode
 
@@ -139,7 +269,7 @@ object Pdf {
     * codespacerange) + code → replacement-text map. Unmapped 1-byte codes
     * fall back to Latin-1 (PDFDocEncoding's printable range); unmapped
     * 2-byte codes emit U+FFFD — mojibake is made VISIBLE, not silent. */
-  final class CMap(val codeBytes: Int, val map: Map[Int, String]) {
+  final class CMap(val codeBytes: Int, val map: Map[Int, String]) extends TextDecoder {
     def decode(b: Array[Byte]): String = {
       val sb = new java.lang.StringBuilder(b.length)
       var i = 0
@@ -416,15 +546,16 @@ object Pdf {
 
   /** Extract the text of one content stream: shows concatenate; the line
     * operators (Td, TD, T-star, Tm, quote and double-quote) insert a
-    * newline. `fonts` maps Tf resource names to their /ToUnicode CMaps —
-    * shows under a CMap'd font decode through it. */
+    * newline. `fonts` maps Tf resource names to their decoders (ToUnicode
+    * CMap or /Differences table) — shows under such a font decode through
+    * it. */
   def contentText(content: Array[Byte], sb: java.lang.StringBuilder,
-      fonts: Map[String, CMap] = Map.empty): Unit = {
+      fonts: Map[String, TextDecoder] = Map.empty): Unit = {
     val lx = new Lexer(content)
     val operands = mutable.ArrayBuffer.empty[PObj]
     val noErrs = Vector.newBuilder[PdfError]
     var firstLine = true
-    var curCMap: CMap = null // set by Tf; null = simple-encoding decode
+    var curCMap: TextDecoder = null // set by Tf; null = simple-encoding decode
     def newline(): Unit = {
       if (!firstLine) sb.append('\n')
       firstLine = false
@@ -476,7 +607,7 @@ object Pdf {
       var i = 0
       while (i < ps.length) {
         if (i > 0) sb.append('\n')
-        contentText(doc.pageContent(ps(i)), sb, doc.fontCMaps(ps(i)))
+        contentText(doc.pageContent(ps(i)), sb, doc.fontDecoders(ps(i)))
         i += 1
       }
       TextResult(sb.toString, ps.length, doc.errors)

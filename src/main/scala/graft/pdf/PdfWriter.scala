@@ -181,6 +181,65 @@ object PdfWriter {
     out.toByteArray
   }
 
+  /** /Differences-encoded twin: one page whose non-ASCII characters are
+    * written as single-byte codes 128+ under a simple font carrying an
+    * /Encoding /Differences table (glyph names: `uniXXXX` by default,
+    * or an explicit AGL name via `aglNames`). ASCII passes through the
+    * base encoding untouched — exactly the legacy simple-font shape.
+    * Up to 128 distinct non-ASCII chars per page. */
+  def diffPage(text: String, aglNames: Map[Char, String] = Map.empty,
+      compress: Boolean = true): Array[Byte] = {
+    val codeOf = mutable.LinkedHashMap.empty[Char, Int]
+    text.foreach { c =>
+      if (c > 0x7E && !codeOf.contains(c)) codeOf(c) = 128 + codeOf.size
+    }
+    require(codeOf.size <= 128, "diffPage: too many distinct non-ASCII chars")
+    val diffs = codeOf.map { case (c, code) =>
+      val g = aglNames.getOrElse(c, f"uni${c.toInt}%04X")
+      s"$code /$g"
+    }.mkString(" ")
+    // content string: ASCII verbatim (escaped), non-ASCII as octal codes
+    val lit = new java.lang.StringBuilder(text.length + 16)
+    lit.append('(')
+    text.foreach {
+      case '(' => lit.append("\\(")
+      case ')' => lit.append("\\)")
+      case '\\' => lit.append("\\\\")
+      case c if c > 0x7E => lit.append('\\').append(f"${codeOf(c)}%03o")
+      case c if c < 0x20 => lit.append('\\').append(f"${c.toInt}%03o")
+      case c => lit.append(c)
+    }
+    lit.append(')')
+    val content = s"BT /F1 11 Tf 72 720 Td $lit Tj ET".getBytes(ISO_8859_1)
+
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val offsets = mutable.ArrayBuffer.empty[Int]
+    def beginObj(n: Int): Unit = { offsets += out.size(); w(s"$n 0 obj\n") }
+    w("%PDF-1.4\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2); w("<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n")
+    beginObj(3)
+    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      s"/Differences [ $diffs ] >> >>\nendobj\n")
+    beginObj(4)
+    w("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    val (data, filter) =
+      if (compress) (deflate(content), " /Filter /FlateDecode") else (content, "")
+    beginObj(5)
+    w(s"<< /Length ${data.length}$filter >>\nstream\n")
+    out.write(data)
+    w("\nendstream\nendobj\n")
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
   def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
     try {

@@ -79,6 +79,34 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("simple-font /Encoding /Differences: uniXXXX and AGL names decode") {
+    // uniXXXX glyph names (what subset-font writers emit)
+    val text = "Héllo ⟶ café — €9 «x»"
+    for (compress <- Seq(true, false)) {
+      val r = Pdf.extractText(PdfWriter.diffPage(text, compress = compress))
+      assert(r.text == text, s"compress=$compress")
+      assert(r.nPages == 1 && r.errors.isEmpty)
+    }
+    // classic AGL names through the same table
+    val agl = Map('é' -> "eacute", '€' -> "Euro", '—' -> "emdash",
+      'ß' -> "germandbls", 'ﬁ' -> "fi")
+    val text2 = "études — ﬁn €5 ß"
+    assert(Pdf.extractText(PdfWriter.diffPage(text2, agl)).text == text2)
+    // unknown glyph name decodes to U+FFFD — visible, not silent
+    val enc = Pdf.parseDifferences(
+      Vector(Pdf.PNum(128), Pdf.PName("notaglyphname")), "WinAnsiEncoding")
+    assert(enc.decode(Array(128.toByte, 'a'.toByte)) == "�a")
+    // WinAnsi base: 0x80 is € in windows-1252 when NOT overridden
+    val base = Pdf.parseDifferences(Vector(Pdf.PNum(129), Pdf.PName("uni2713")),
+      "WinAnsiEncoding")
+    assert(base.decode(Array(0x80.toByte, 0x81.toByte)) == "€✓")
+    // glyph name resolution unit checks
+    assert(Pdf.glyphToUnicode("uni27F6") == Some("⟶"))
+    assert(Pdf.glyphToUnicode("u1F600") == Some(new String(Character.toChars(0x1F600))))
+    assert(Pdf.glyphToUnicode("odieresis") == Some("ö"))
+    assert(Pdf.glyphToUnicode("bogusname") == None)
+  }
+
   test("property: random unicode round-trips exactly") {
     val rng = new scala.util.Random(11)
     for (_ <- 1 to 100) {
