@@ -100,27 +100,40 @@ object Similarity {
       nPlanes: Int = DefaultPlanes, nTables: Int = DefaultTables): DataFrame =
     lshBucketsOf(embeddings(spark, sfDir), nPlanes, nTables)
 
-  /** Same bucketing over ANY (vec_id, embedding) frame. */
+  /** Same bucketing over ANY (vec_id, embedding) frame. ALL tables'
+    * buckets come from ONE UDF call per vector (then posexplode) — the
+    * per-(vector, table) shape paid the UDF serialization boundary and
+    * the Seq→indexed access nTables times per vector (measured ~25% of
+    * e2's latency at 8 tables); bucket VALUES are bit-identical, so the
+    * e2/e3 oracles are unaffected. */
   def lshBucketsOf(emb: DataFrame,
       nPlanes: Int = DefaultPlanes, nTables: Int = DefaultTables): DataFrame = {
     val planes = Array.tabulate(nTables, nPlanes, Dim)(planeVal)
-    val bucketOf = udf((v: Seq[Float], t: Int) => {
-      var bucket = 0L
-      var p = 0
-      while (p < nPlanes) {
-        val pl = planes(t)(p)
-        var dot = 0.0
-        var i = 0
-        while (i < v.length && i < pl.length) { dot += v(i) * pl(i); i += 1 }
-        if (dot > 0) bucket |= (1L << p)
-        p += 1
+    val bucketsOf = udf((v: Seq[Float]) => {
+      val a = new Array[Float](v.length)
+      var i = 0
+      while (i < a.length) { a(i) = v(i); i += 1 }
+      val out = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var bucket = 0L
+        var p = 0
+        while (p < nPlanes) {
+          val pl = planes(t)(p)
+          var dot = 0.0
+          i = 0
+          while (i < a.length && i < pl.length) { dot += a(i) * pl(i); i += 1 }
+          if (dot > 0) bucket |= (1L << p)
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
       }
-      bucket
+      out
     })
     emb
       .select(col("vec_id"), col("embedding"),
-        explode(array((0 until nTables).map(lit): _*)).as("tbl"))
-      .withColumn("bucket", bucketOf(col("embedding"), col("tbl")))
+        posexplode(bucketsOf(col("embedding"))).as(Seq("tbl", "bucket")))
   }
 
   /** Approximate top-k via multi-table sign-LSH with query-side
