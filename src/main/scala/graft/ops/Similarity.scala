@@ -181,6 +181,20 @@ object Similarity {
         col("neighbor_id"))
   }
 
+  /** Production entry point: knnLsh with nPlanes DERIVED from the corpus
+    * row count (parquet metadata count — no data scan), so bucket
+    * occupancy stays O(targetBucket) at any corpus size instead of
+    * degenerating to O(N) candidates at the fixed test-SF width. The
+    * pinned-width `knnLsh` remains the oracle path. */
+  def knnLshAuto(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5,
+      targetBucket: Long = 1000L, nTables: Int = DefaultTables,
+      probeBits: Int = 2): DataFrame = {
+    val n = embeddings(spark, sfDir).count()
+    knnLsh(spark, sfDir, numQueries, k,
+      nPlanes = derivedPlanes(n, targetBucket), nTables, probeBits)
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
     * corpus into nlist cells; a query scans only its own cell(s), ranked
     * by exact cosine. The scale path complement to sign-LSH (knnLsh):

@@ -301,6 +301,12 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exact power boundary: n/target = 1024 needs exactly 10 bits
     assert(Similarity.derivedPlanes(1024000L) === 10)
     assert(Similarity.derivedPlanes(1024001L) === 11)
+    // the production entry point derives the width: at 500 rows ≤ the
+    // 1000-row target it lands exactly on the pinned default, so results
+    // must equal the oracle-path knnLsh row for row
+    val auto = Similarity.knnLshAuto(spark, sf).collect().map(_.toString).sorted
+    val pinned = Similarity.knnLsh(spark, sf).collect().map(_.toString).sorted
+    assert(auto.sameElements(pinned))
     // probe masks: Σ C(nPlanes, i) for i ≤ probeBits, all distinct, each
     // of Hamming weight ≤ probeBits — radius 3 is honored, not clamped
     val m3 = Similarity.probeMasks(6, 3)
