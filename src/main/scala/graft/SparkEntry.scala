@@ -278,6 +278,7 @@ object SparkEntry {
     "d4_simhash" -> ((s, dir) => Dedup.simhashes(s, dir)),
     "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "d6_ngram_jaccard" -> ((s, dir) => Dedup.consecutiveJaccard(s, dir)),
+    "d7_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
 
     // ---- text analysis ----------------------------------------------------
     "t1_text_stats" -> ((s, dir) => {
@@ -635,6 +636,31 @@ object SparkEntry {
         |           / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) END, 6) AS jaccard
         |  FROM cand c JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b) t
         |WHERE jaccard >= 0.5""".stripMargin,
+    // d7: the Spark side's iterative min-label propagation must reach the
+    // same fixpoint as the oracle's transitive closure (recursive CTE):
+    // cluster_id = smallest doc_id reachable through verified pairs
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashCtesFrom("documents")},
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |vp AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b
+        |  WHERE ROUND(CASE WHEN len(ga.sh) = 0 AND len(gb.sh) = 0 THEN 1.0
+        |    ELSE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)
+        |         / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) END, 6) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM vp
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM vp),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id,
+        |  (src = MIN(dst)) AS is_keeper
+        |FROM reach GROUP BY src""".stripMargin,
     "t2_token_count" ->
       """SELECT doc_id,
         | CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS ws_tokens,

@@ -203,6 +203,67 @@ object Dedup {
         round(jac(col("a.text"), col("b.text")), 6).as("jaccard"))
   }
 
+  /** Connected components over the near-dup pair graph: every document
+    * labeled with the SMALLEST doc_id reachable through verified pairs —
+    * its cluster keeper — turning pairwise dedup output into the
+    * per-cluster decision a pipeline actually applies (keep one doc per
+    * cluster, not "drop the greater member of each pair", which
+    * over-keeps on transitive chains a~b~c).
+    *
+    * Shape: iterative min-label propagation (label(v) ← min(label(v),
+    * min over neighbors)) — one equi-join + one aggregation per round,
+    * converging in O(graph diameter) rounds with an early-exit
+    * convergence check (`maxIter` caps pathological chains; dedup
+    * clusters are shallow in practice — near-dup similarity is nearly
+    * transitive). Each round EAGERLY localCheckpoints its labels: without
+    * lineage truncation the logical plan doubles per round (labels feeds
+    * both the join and the convergence check) and round ~9 OOMs the
+    * driver just RENDERING the plan — the standard Spark iterative-
+    * algorithm discipline (GraphX Pregel materializes per round too).
+    * At 100 TB every round is two shuffles over (id, label) pairs, NOT
+    * over documents; a long-lived production job would point
+    * setCheckpointDir at durable storage and use checkpoint() for
+    * executor-loss tolerance. */
+  def clustersOf(pairs: DataFrame, ids: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_label")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true) // materialize + TRUNCATE lineage (see note)
+      val changed = next.as("n")
+        .join(labels.as("p"), "doc_id")
+        .filter(col("n.cluster_id") =!= col("p.cluster_id"))
+        .count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+  }
+
+  /** d7: minhash-verified pairs → duplicate clusters over the documents
+    * table. */
+  def dedupClusters(spark: SparkSession, sfDir: String,
+      minJaccard: Double = 0.5, maxIter: Int = 20): DataFrame =
+    clustersOf(
+      minhashPairs(spark, sfDir, minJaccard),
+      documents(spark, sfDir).select(col("doc_id")), maxIter)
+
   /** Exact n-gram (word 3-shingle) Jaccard similarity. */
   def ngramJaccard(a: String, b: String): Double = {
     val sa = shingles(a)

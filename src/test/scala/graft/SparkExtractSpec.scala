@@ -289,6 +289,26 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.verifiedPairsOf(same, "doc_id", "text", 0.5, maxBucket = 10).count() === 0)
   }
 
+  test("dedup clusters: min-label propagation ≡ transitive closure") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // chain 1-2-3 (transitive: pairwise drop-greater would over-keep 3),
+    // pair 10-11, isolated 12
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 12L).toDF("doc_id")
+    val got = Dedup.clustersOf(pairs, ids).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false), 12L -> (12L, true)))
+    // a long path needs O(diameter) rounds — the convergence loop, not a
+    // fixed two-hop join, must carry the label to the far end
+    val path = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val pathIds = (1L to 10L).toDF("doc_id")
+    val far = Dedup.clustersOf(path, pathIds).filter(col("doc_id") === 10L).collect()(0)
+    assert(far.getLong(1) === 1L)
+  }
+
   test("LSH width derives from corpus size; probe masks honor any radius") {
     import graft.ops.Similarity
     // ≤ targetBucket rows: the pinned test-SF width
