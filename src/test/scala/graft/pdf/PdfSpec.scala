@@ -107,6 +107,15 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.glyphToUnicode("bogusname") == None)
   }
 
+  test("truncated CMap/Differences PDFs never throw: errors are data") {
+    val cm = PdfWriter.cmapPage("Héllo ⟶ fghi XY!", compress = false)
+    val df = PdfWriter.diffPage("études — €5", compress = false)
+    for (pdf <- Seq(cm, df); n <- 0 to pdf.length by 37) {
+      val r = Pdf.extractText(pdf.take(n)) // must not throw, whatever survives
+      assert(r.nPages >= 0 && r.text != null)
+    }
+  }
+
   test("property: random unicode round-trips exactly") {
     val rng = new scala.util.Random(11)
     for (_ <- 1 to 100) {

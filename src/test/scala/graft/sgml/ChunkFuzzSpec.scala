@@ -45,6 +45,21 @@ class ChunkFuzzSpec extends AnyFunSuite {
     (r.spans(cfg), r.errors.length)
   }
 
+  test("html5 entities: chunked ≡ whole at every split point") {
+    // WHATWG names (incl. long and multi-codepoint ones) must survive a
+    // chunk boundary anywhere inside the reference
+    val doc = "<p>x &longrightarrow; y &NotEqualTilde; &fjlig; &nbsp;z</p>"
+    val cfg = ParserConfig(Dialect.Html5, SpaceMode.Preserve)
+    val whole = SgmlParser.spans(doc, cfg)._1
+    assert(whole.map(_.text).mkString == "x ⟶ y ≂̸ fj  z")
+    for (k <- 1 until doc.length) {
+      val p = new SgmlParser(cfg)
+      p.feed(doc.substring(0, k), 0)
+      p.feed(doc.substring(k))
+      assert(p.finish().spans(cfg) == whole, s"split at $k")
+    }
+  }
+
   test("random SHORTREF docs: chunked ≡ whole (delimiters across cuts)") {
     val cfg = ParserConfig(dialect = Dialect.Sgml, space = SpaceMode.Preserve)
     val prolog = "<!DOCTYPE d [" +
