@@ -122,6 +122,37 @@ object Pipeline {
       .select(col("doc_id"), col("text"), col("predicted_lang"), col("n_words"))
   }
 
+  /** Cluster-keeper curation: stages 1–3 as `curate`, but fuzzy dedup
+    * keeps exactly ONE doc per CONNECTED COMPONENT of the verified-pair
+    * graph (the smallest doc_id — Dedup.clustersOf) instead of dropping
+    * the greater member of each pair. The difference matters on
+    * transitive chains with a skipped edge: pairs (3,9) and (1,9) form
+    * the cluster {1,3,9}, but 3 is never a pair's greater member, so the
+    * pairwise rule keeps BOTH 1 and 3 — the cluster rule keeps only 1.
+    * Costs the component iteration (O(diameter) rounds over (id, label)
+    * pairs) on top of curate's four shuffles; the p2 oracle replays it
+    * with a recursive-CTE transitive closure. */
+  def curateClustered(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val repart =
+      if (cfg.partitions > 0)
+        SgmlExtract.sizeAwareRepartition(docs, cfg.partitions)
+      else docs
+    val extracted = SgmlExtract.extractDf(repart, cfg.extract)
+    val quality = qualityStage(extracted)
+    val wHash = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exact = quality
+      .withColumn("__rn", row_number().over(wHash))
+      .filter(col("__rn") === 1).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.verifiedPairsOf(exact, "doc_id", "text",
+      cfg.minJaccard, cfg.maxBucket)
+    val keepers = Dedup.clustersOf(pairs, exact.select(col("doc_id")))
+      .filter(col("is_keeper")).select(col("doc_id"))
+    val deduped = exact.join(keepers, Seq("doc_id"), "left_semi")
+    TextOps.withLangId(deduped)
+      .select(col("doc_id"), col("text"), col("predicted_lang"), col("n_words"))
+  }
+
   /** Production entry: read a contract table, PARSE ONCE, write the
     * extracted product, then derive curated output + per-partition
     * lineage from the cheap columnar re-read — the expensive leg (the

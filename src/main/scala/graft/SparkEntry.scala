@@ -259,6 +259,14 @@ object SparkEntry {
     }),
 
     // ---- end-to-end curation pipeline -------------------------------------
+    "p2_curate_clustered" -> ((s, dir) =>
+      // the cluster-keeper variant: fuzzy dedup keeps one doc per
+      // connected component (min doc_id) — catches the transitive-chain
+      // over-keep the pairwise rule misses; oracle replays with a
+      // recursive-CTE closure
+      Pipeline.curateClustered(SgmlExtract.wrapDocuments(s, dir).toDF())
+        .select(col("doc_id"), col("text"), col("predicted_lang"),
+          col("n_words").cast("long").as("n_words"))),
     "p1_curate" -> ((s, dir) => {
       // the whole engine in one plan: parse → quality filter → exact
       // dedup → minhash fuzzy dedup → lang-id, four shuffles total;
@@ -601,6 +609,68 @@ object SparkEntry {
         |         / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) END, 6) >= 0.5),
         |surv AS (
         |  SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |sl AS (
+        |  SELECT doc_id, text, n_words,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> list_contains(['el','los','las','es','un','una','que','por'], x))) AS s_es
+        |  FROM surv)
+        |SELECT doc_id, text,
+        |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END AS predicted_lang,
+        |  n_words
+        |FROM sl""".stripMargin
+    },
+    // p2: p1's quality + exact-dedup stages, then CLUSTER-keeper fuzzy
+    // dedup — survivors are the docs equal to the minimum doc_id reachable
+    // through verified pairs (recursive transitive closure), then lang-id
+    "p2_curate_clustered" -> {
+      val stop = TextOps.stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH RECURSIVE src AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS n_words
+        |  FROM src
+        |  WHERE LEN(regexp_split_to_array(TRIM(text), '\\s+')) >= 10
+        |    AND LEN(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+        |      x -> list_contains($stop, x))) > 0
+        |    AND LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100 >= LENGTH(text) * 50),
+        |ex AS (
+        |  SELECT doc_id, text, n_words FROM (
+        |    SELECT doc_id, text, n_words,
+        |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM q) t WHERE rn = 1),
+        |${minhashCtesFrom("ex")},
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |vp AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b
+        |  WHERE ROUND(CASE WHEN len(ga.sh) = 0 AND len(gb.sh) = 0 THEN 1.0
+        |    ELSE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)
+        |         / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) END, 6) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS esrc, id_b AS edst FROM vp
+        |  UNION ALL SELECT id_b AS esrc, id_a AS edst FROM vp),
+        |reach AS (
+        |  SELECT doc_id AS rsrc, doc_id AS rdst FROM ex
+        |  UNION
+        |  SELECT r.rsrc, e.edst FROM reach r JOIN edges e ON e.esrc = r.rdst),
+        |keepers AS (
+        |  SELECT rsrc AS doc_id FROM reach GROUP BY rsrc HAVING rsrc = MIN(rdst)),
+        |surv AS (
+        |  SELECT ex.* FROM ex JOIN keepers k ON k.doc_id = ex.doc_id),
         |sl AS (
         |  SELECT doc_id, text, n_words,
         |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),

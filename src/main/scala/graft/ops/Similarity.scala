@@ -216,6 +216,18 @@ object Similarity {
   val FitSampleCap = 100000L
   val FitIters = 5
 
+  /** Production IVF list count from corpus size: nlist ≈ √(n/nprobe-ish
+    * constant) is the standard heuristic; here the smallest power-feel
+    * value keeping expected cell occupancy ≤ targetCell —
+    * ceil(n / targetCell), clamped to [16, 65536] (beyond ~64k cells the
+    * coarse-quantizer fit itself needs sharding). The pinned default 16
+    * remains the test-SF/oracle path. */
+  def derivedNlist(n: Long, targetCell: Long = 100000L): Int = {
+    require(targetCell > 0, s"targetCell must be positive, got $targetCell")
+    val cells = (n + targetCell - 1) / targetCell
+    math.min(65536L, math.max(16L, cells)).toInt
+  }
+
   /** Plain Lloyd's: deterministic for a fixed input order. */
   private[graft] def lloyd(xs: Array[Array[Float]], k: Int, iters: Int): Array[Array[Double]] = {
     val dim = if (xs.isEmpty) Dim else xs(0).length

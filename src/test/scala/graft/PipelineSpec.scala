@@ -40,6 +40,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("d5") == "de")
   }
 
+  test("curateClustered keeps one doc per component (≡ curate here)") {
+    val near = quality + " extra"
+    val docs = docsOf(
+      "d1" -> quality, "d2" -> quality, "d3" -> near,
+      "d4" -> "short junk",
+      "d5" -> "der hund und die katze sind nicht in dem haus und das ist gut so")
+    val clustered = Pipeline.curateClustered(docs).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    // d1~d3 form one component → keeper d1; d2 exact-deduped earlier;
+    // d4 fails quality; d5 its own (singleton) component
+    assert(clustered.keySet == Set("d1", "d5"), clustered)
+    assert(clustered("d1") == "en" && clustered("d5") == "de")
+    // on a corpus without skipped transitive edges the pairwise rule
+    // agrees — the divergence case is pinned by the d7 unit test
+    val pairwise = Pipeline.curate(docs).collect().map(_.getString(0)).toSet
+    assert(pairwise == clustered.keySet)
+  }
+
   test("markup parses before curation; parse-error docs are dropped") {
     val docs = docsOf(
       "m1" -> s"<html><body><p>$quality</p></body></html>",

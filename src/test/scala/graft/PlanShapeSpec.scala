@@ -62,6 +62,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "e4_knn_ivf"            -> 1,
     "e5_ann_recall"         -> 5, // union of three knn legs + recall agg
     "p1_curate"             -> 4, // quality→exact-dedup→fuzzy→lang-id stages
+    "p2_curate_clustered"   -> 1, // keeper semi-join; cluster rounds + parse live behind checkpoint/cache
     "q1_lineitem_agg"       -> 1,
     "q2_join_agg"           -> 1, // dims broadcast; one agg exchange
     "q3_window_first_event" -> 1,

@@ -336,6 +336,10 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.probeMasks(6, 2).size === 22) // the pinned default
     intercept[IllegalArgumentException](Similarity.probeMasks(6, 7))
     intercept[IllegalArgumentException](Similarity.probeMasks(6, -1))
+    // IVF list count derives the same way: occupancy-targeted, clamped
+    assert(Similarity.derivedNlist(500) === 16) // test-SF floor = pinned default
+    assert(Similarity.derivedNlist(100000000L) === 1000) // 100M / 100k
+    assert(Similarity.derivedNlist(1000000000000L) === 65536) // 10¹² capped
   }
 
   test("image header sniffing: PNG/GIF/JPEG dimensions from real bytes") {
