@@ -215,6 +215,22 @@ object SparkEntry {
           col("sum_qty"), col("n"))
     }),
 
+    "q10_source_stats" -> ((s, dir) =>
+      // corpus-distribution analytics (§2.7 aggregation surface): exact
+      // percentiles of doc length per source. Spark's percentile and
+      // DuckDB's quantile_cont share the p·(n−1) linear-interpolation
+      // definition, so the oracle matches bit-for-bit after ROUND(…, 6);
+      // sums/counts are integer-exact so avg is too. At 100 TB swap
+      // percentile → approx_percentile (t-digest) — the documented
+      // sketch path; grouping stays one partial-agg exchange.
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(length(col("text"))), 6).as("avg_chars"),
+          round(expr("percentile(length(text), 0.5)"), 6).as("p50_chars"),
+          round(expr("percentile(length(text), 0.9)"), 6).as("p90_chars"),
+          max(length(col("text"))).cast("long").as("max_chars"))),
     "q7_xsd_types" -> ((s, dir) => {
       // xsdp_types surface (SURVEY.md §2.6): lexical validation +
       // graceful typed conversion, all codegen'd (rlike + cast, no UDF)
@@ -834,6 +850,13 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn,
         |  COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt FROM nation) t
         |GROUP BY n_regionkey""".stripMargin,
+    "q10_source_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | ROUND(AVG(LENGTH(text)), 6) AS avg_chars,
+        | ROUND(quantile_cont(LENGTH(text), 0.5), 6) AS p50_chars,
+        | ROUND(quantile_cont(LENGTH(text), 0.9), 6) AS p90_chars,
+        | CAST(MAX(LENGTH(text)) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY source""".stripMargin,
     "q9_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
         | COALESCE(l_linestatus, 'ALL') AS lstatus,
