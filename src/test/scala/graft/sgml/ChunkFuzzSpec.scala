@@ -23,7 +23,10 @@ class ChunkFuzzSpec extends AnyFunSuite {
     "</>", "</nope>", "<a<b>", "<a b=>", "<a b='v'", "]]>", "]]", "/",
     "<!DOCTYPE d [<!ENTITY e \"ee\">]>", "&e;", "<em>t</em>",
     "<table><tr><td>c</table>", "\n", "  ", "é中☃",
-    "\r\n", "\r", "a\rb", "<pre>x\r\ny</pre>", "&#13;")
+    "\r\n", "\r", "a\rb", "<pre>x\r\ny</pre>", "&#13;",
+    // WHATWG names: resolved under html5, undeclared-entity nodes under
+    // html4/sgml — chunk-equivalence must hold either way
+    "&longrightarrow;", "&NotEqualTilde;", "&varnothing", "<source src=a>")
 
   private def randomDoc(rng: scala.util.Random): String = {
     val n = 1 + rng.nextInt(12)
@@ -80,7 +83,7 @@ class ChunkFuzzSpec extends AnyFunSuite {
     }
   }
 
-  for (d <- Seq(Dialect.Html4, Dialect.Sgml, Dialect.Xml)) {
+  for (d <- Seq(Dialect.Html4, Dialect.Html5, Dialect.Sgml, Dialect.Xml)) {
     test(s"random docs: chunked ≡ whole, all 2-splits + random splits [${d.name}]") {
       val cfg = ParserConfig(dialect = d, space = SpaceMode.Preserve)
       val rng = new scala.util.Random(1234 + d.name.hashCode)
