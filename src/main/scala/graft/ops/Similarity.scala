@@ -279,6 +279,18 @@ object Similarity {
     best
   }
 
+  /** Production entry point: knnIvf with nlist DERIVED from the corpus
+    * row count (metadata-only count), keeping expected cell occupancy
+    * near targetCell at any scale; the pinned nlist=16 `knnIvf` remains
+    * the test-SF/e5 path. */
+  def knnIvfAuto(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5,
+      targetCell: Long = 100000L, nprobe: Int = 4): DataFrame = {
+    val n = embeddings(spark, sfDir).count()
+    knnIvf(spark, sfDir, numQueries, k,
+      nlist = derivedNlist(n, targetCell), nprobe = nprobe)
+  }
+
   def knnIvf(spark: SparkSession, sfDir: String,
       numQueries: Int = 10, k: Int = 5, nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {

@@ -340,6 +340,10 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.derivedNlist(500) === 16) // test-SF floor = pinned default
     assert(Similarity.derivedNlist(100000000L) === 1000) // 100M / 100k
     assert(Similarity.derivedNlist(1000000000000L) === 65536) // 10¹² capped
+    // auto entry point lands on the pinned default at test SF → same rows
+    val ivfAuto = Similarity.knnIvfAuto(spark, sf).collect().map(_.toString).sorted
+    val ivfPinned = Similarity.knnIvf(spark, sf).collect().map(_.toString).sorted
+    assert(ivfAuto.sameElements(ivfPinned))
   }
 
   test("image header sniffing: PNG/GIF/JPEG dimensions from real bytes") {
