@@ -110,18 +110,45 @@ object Dedup {
   }
 
   /** 64 minhashes via (a_i·h + b_i) mod P over shingle hashes. Closed-form
-    * coefficients → deterministic across JVMs and replicable in SQL. */
+    * coefficients → deterministic across JVMs and replicable in SQL.
+    *
+    * Values are EXACTLY those of hashing `shingles(text)` (the oracle's
+    * definition), computed without materializing shingle strings or a
+    * dedup set: the per-window hash streams code points of the window's
+    * words with a literal ' ' joiner (≡ shingleHash of the joined
+    * string), and duplicates need no removal because min() over each
+    * hash function is duplicate-insensitive — the Set and the string
+    * concatenations were measured overhead (~20% of d3/p1), not
+    * semantics. */
   def minhash(text: String): Array[Long] = {
-    val sh = shingles(text)
     val sig = Array.fill(NumHashes)(Long.MaxValue)
-    sh.foreach { s =>
-      val h = shingleHash(s)
+    if (text == null) return sig
+    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (words.length == 0) return sig
+    val windowLen = math.min(3, words.length)
+    val nWindows = if (words.length < 3) 1 else words.length - 2
+    var s0 = 0
+    while (s0 < nWindows) {
+      var h = 0L
+      var w = s0
+      while (w < s0 + windowLen) {
+        if (w > s0) h = (h * 31 + ' ') & 0xFFFFFFFFL
+        val s = words(w)
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          h = (h * 31 + cp) & 0xFFFFFFFFL
+          i += Character.charCount(cp)
+        }
+        w += 1
+      }
       var i = 0
       while (i < NumHashes) {
         val v = (HashAs(i) * h + HashBs(i)) % HashP
         if (v < sig(i)) sig(i) = v
         i += 1
       }
+      s0 += 1
     }
     sig
   }
