@@ -303,6 +303,7 @@ object SparkEntry {
     "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "d6_ngram_jaccard" -> ((s, dir) => Dedup.consecutiveJaccard(s, dir)),
     "d7_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
+    "t10_decontaminate" -> ((s, dir) => Dedup.decontaminate(s, dir)),
 
     // ---- text analysis ----------------------------------------------------
     "t1_text_stats" -> ((s, dir) => {
@@ -707,6 +708,21 @@ object SparkEntry {
         |  n_words
         |FROM sl""".stripMargin
     },
+    // t10: shared-shingle contamination vs the doc_id < 10 held-out set —
+    // overlap counted over the SAME closed-form shingle hashes (the u CTE
+    // of the minhash chain)
+    "t10_decontaminate" ->
+      s"""WITH ${minhashCtesFrom("documents")},
+        |contam AS (SELECT DISTINCT h FROM u WHERE doc_id < 10),
+        |hits AS (
+        |  SELECT u.doc_id, COUNT(DISTINCT u.h) AS n_shared
+        |  FROM u JOIN contam c ON c.h = u.h
+        |  WHERE u.doc_id >= 10 GROUP BY u.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(hits.n_shared, 0) AS n_shared,
+        |  COALESCE(hits.n_shared, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+        |LEFT JOIN hits ON hits.doc_id = d.doc_id""".stripMargin,
     "d2_minhash_bands" ->
       s"WITH ${minhashCtesFrom("documents")} SELECT doc_id, band, band_hash FROM bands",
     "d3_minhash_pairs" ->

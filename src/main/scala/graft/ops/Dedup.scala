@@ -291,6 +291,34 @@ object Dedup {
       minhashPairs(spark, sfDir, minJaccard),
       documents(spark, sfDir).select(col("doc_id")), maxIter)
 
+  /** Train/test decontamination: flag every corpus document sharing ANY
+    * word 3-shingle with a held-out contamination set (here the docs with
+    * doc_id < contamIds — the synthetic stand-in for a benchmark suite).
+    * The real-pipeline shape at 100 TB: the contamination side is tiny
+    * and BROADCASTS (its distinct shingle hashes), the corpus side is one
+    * narrow shingle-hash explode + broadcast hash join + per-doc count —
+    * no corpus-side shuffle besides the count aggregation. Hash space is
+    * the shared closed-form 2^32 polynomial, so the oracle recomputes the
+    * same overlap counts in SQL. */
+  def decontaminate(spark: SparkSession, sfDir: String,
+      contamIds: Int = 10): DataFrame = {
+    val d = documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val shUdf = udf((t: String) => shingles(t).toSeq.map(shingleHash))
+    val hashed = d.select(col("doc_id"), shUdf(col("text")).as("hs"))
+    val contam = hashed.filter(col("doc_id") < contamIds)
+      .select(explode(col("hs")).as("h")).distinct()
+    val hits = hashed.filter(col("doc_id") >= contamIds)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(contam), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+    d.filter(col("doc_id") >= contamIds).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Exact n-gram (word 3-shingle) Jaccard similarity. */
   def ngramJaccard(a: String, b: String): Double = {
     val sa = shingles(a)

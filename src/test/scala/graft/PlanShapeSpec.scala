@@ -65,6 +65,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "p2_curate_clustered"   -> 1, // keeper semi-join; cluster rounds + parse live behind checkpoint/cache
     "q1_lineitem_agg"       -> 1,
     "q10_source_stats"      -> 1, // percentile agg: partial + one exchange
+    "t10_decontaminate"     -> 3, // contam distinct + per-doc countDistinct + left join (contam side broadcasts)
     "q2_join_agg"           -> 1, // dims broadcast; one agg exchange
     "q3_window_first_event" -> 1,
     "q4_topk_revenue"       -> 1,
