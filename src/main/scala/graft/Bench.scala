@@ -97,6 +97,24 @@ object Bench {
     (agg.getLong(0), agg.getLong(1), secs)
   }
 
+  /** Fixed single-thread CPU-bound loop (FNV-1a fold over a counter),
+    * timed — the host-contention canary. Run before and after the suite:
+    * on an uncontended box both times land near the same value (~0.2 s on
+    * this class of core); a noisy-neighbor episode inflates whichever
+    * side overlapped it. Emitted as a `calibration` field so a contended
+    * run is machine-detectable IN the JSON, not just by cross-round
+    * comparison (the r2/r3 driver-bench regression clusters were exactly
+    * such episodes — both bisected clean in fresh JVMs). */
+  private def calibrationSecs(): Double = {
+    var h = 0xcbf29ce484222325L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 100000000L) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (h == 42L) System.err.print("") // defeat dead-code elimination
+    secs
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val amp = sys.env.getOrElse("SPARK_GRAFT_AMP", "20").toInt
@@ -112,6 +130,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = session(cpus)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val calPre = calibrationSecs()
 
     // headline: parse+extract throughput (1 warm-up, 1 measured)
     extractionRun(spark, sfDir, math.max(1, amp / 4)) // warm-up (JIT, DTD)
@@ -136,17 +155,26 @@ object Bench {
       case None => _ => true
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => keep(name) }
       .foreach { case (name, fn) =>
         try {
           fn(spark, sfDir).count() // warm-up: codegen compile + page cache
-          val best = (1 to 2).map { _ =>
+          def trial(): Double = {
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
-          }.min
-          results += name -> best
+          }
+          // best-of-2, plus ONE re-run when the trial spread exceeds 2× —
+          // a spread that wide is a contention stall, not steady-state
+          // variance, and the re-run usually lands next to the min. A
+          // query whose spread stays >2× even with the third trial is
+          // flagged `contended` in the JSON (machine-readable marker).
+          var trials = List(trial(), trial())
+          if (trials.max / trials.min > 2.0) trials ::= trial()
+          if (trials.max / trials.min > 2.0) contended += name
+          results += name -> trials.min
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e")
@@ -154,6 +182,7 @@ object Bench {
             results += name -> -1.0 // sentinel: failed (excluded from total)
         }
       }
+    val calPost = calibrationSecs()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -162,7 +191,9 @@ object Bench {
     // distinguishable downstream, not just on stderr
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedJson%s,"queries":$qs%s,"sf":"$sfDir%s"}""")
+    val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cal = f""""calibration":{"pre_sec":$calPre%.3f,"post_sec":$calPost%.3f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedJson%s,"contended":$contJson%s,$cal%s,"queries":$qs%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 

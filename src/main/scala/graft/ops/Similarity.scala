@@ -288,15 +288,15 @@ object Similarity {
       targetCell: Long = 100000L, nprobe: Int = 4): DataFrame = {
     val n = embeddings(spark, sfDir).count()
     knnIvf(spark, sfDir, numQueries, k,
-      nlist = derivedNlist(n, targetCell), nprobe = nprobe)
+      nlist = derivedNlist(n, targetCell), nprobe = nprobe,
+      knownCount = Some(n)) // metadata-only, but don't pay it twice
   }
 
-  def knnIvf(spark: SparkSession, sfDir: String,
-      numQueries: Int = 10, k: Int = 5, nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val raw = embeddings(spark, sfDir)
-    val n = raw.count() // parquet metadata count — no data scan
+  /** The deterministic driver-side quantizer fit on its own: after this,
+    * the centroids are plain literals — the e4 oracle interpolates them
+    * into DuckDB SQL as a VALUES table and replays assignment + nprobe
+    * probing + exact-cosine ranking from scratch. */
+  def fitCenters(raw: DataFrame, n: Long, nlist: Int): Array[Array[Double]] = {
     val sample: Array[Array[Float]] =
       (if (n <= FitSampleCap) raw
        else raw.sample(withReplacement = false, FitSampleCap.toDouble / n, seed = 42L))
@@ -304,7 +304,16 @@ object Similarity {
         .orderBy(col("vec_id")).limit(FitSampleCap.toInt)
         .collect()
         .map(_.getSeq[Float](1).toArray)
-    val centers = lloyd(sample, nlist, FitIters)
+    lloyd(sample, nlist, FitIters)
+  }
+
+  def knnIvf(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 4, knownCount: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = embeddings(spark, sfDir)
+    val n = knownCount.getOrElse(raw.count()) // parquet metadata count — no data scan
+    val centers = fitCenters(raw, n, nlist)
     val cellOf = udf((v: Seq[Float]) => nearestCenter(v.toArray, centers))
     val cells = raw
       .select(col("vec_id"), col("embedding"))

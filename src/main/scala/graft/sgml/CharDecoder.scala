@@ -46,12 +46,25 @@ object CharDecoder {
   /** HTML meta-charset prescan (simplified WHATWG algorithm): the first
     * `charset = <name>` attribute/parameter inside a `<meta …>` tag,
     * quoted or bare, case-insensitive — covers both the HTML5 shorthand
-    * and the http-equiv Content-Type form. */
+    * and the http-equiv Content-Type form. The `charset` token must be
+    * preceded by whitespace, a quote, or `;` (the Content-Type parameter
+    * separator), so incidental text like `content="…nocharset=x…"`
+    * cannot match mid-word. */
   private val MetaCharsetRe =
-    "(?is)<meta[^>]*?charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9][A-Za-z0-9._-]*)".r
+    "(?is)<meta[^>]*?[\\s\"';]charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9][A-Za-z0-9._-]*)".r
 
   private[sgml] def sniffMetaCharset(probe: String): Option[String] =
-    MetaCharsetRe.findFirstMatchIn(probe).map(_.group(1))
+    MetaCharsetRe.findFirstMatchIn(probe).map(_.group(1)).map(normalizeMetaCharset)
+
+  /** WHATWG prescan rule: the prescan only works on ASCII-compatible
+    * bytes, so a document whose prescan FOUND `charset=utf-16*` cannot
+    * actually be UTF-16 (a real UTF-16 stream is caught earlier by the
+    * BOM sniff) — the spec says to treat the declared value as UTF-8. */
+  private[sgml] def normalizeMetaCharset(name: String): String =
+    name.toLowerCase match {
+      case "utf-16" | "utf-16le" | "utf-16be" | "utf16" => "UTF-8"
+      case _ => name
+    }
 
   private[sgml] def sniffXmlDeclEncoding(probe: String): Option[String] = {
     if (!probe.startsWith("<?xml")) return None

@@ -112,8 +112,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dedup.simhashPairsOf(hashes, maxBucket = maxBucket)
         .queryExecution.executedPlan.collect { case p => p.getClass.getSimpleName }
     // valve off (default): no semi join, the pinned d5 shape
-    assert(!ops(Int.MaxValue).exists(_.contains("ShuffledHashJoin") ||
-      ops(Int.MaxValue).exists(_.contains("SortMergeJoin"))))
+    val uncapped = ops(Int.MaxValue)
+    assert(!uncapped.exists(n =>
+      n.contains("ShuffledHashJoin") || n.contains("SortMergeJoin")), uncapped)
     // valve on: a size-gating join appears and nothing degrades to
     // cartesian — the structural guarantee that a hot bucket is filtered
     // out before any collect_list buffers it

@@ -307,6 +307,15 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pathIds = (1L to 10L).toDF("doc_id")
     val far = Dedup.clustersOf(path, pathIds).filter(col("doc_id") === 10L).collect()(0)
     assert(far.getLong(1) === 1L)
+    // adversarial chain, O(log diameter) pin: a 60-node path converges
+    // within 12 rounds ONLY under path halving (reach doubles per round:
+    // 1, 3, 7, …, 63 → 6 rounds + 1 to detect the fixpoint); plain
+    // min-label propagation needs 59 and would return wrong labels here
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainIds = (1L to 60L).toDF("doc_id")
+    val chainGot = Dedup.clustersOf(chain, chainIds, maxIter = 12).collect()
+    assert(chainGot.forall(_.getLong(1) == 1L),
+      chainGot.filter(_.getLong(1) != 1L).mkString(", "))
   }
 
   test("LSH width derives from corpus size; probe masks honor any radius") {

@@ -333,6 +333,20 @@ class FixtureSpec extends AnyFunSuite {
     // direct sniff unit checks
     assert(CharDecoder.sniffMetaCharset("<meta charset='koi8-r'>") == Some("koi8-r"))
     assert(CharDecoder.sniffMetaCharset("<p>charset=fake</p>") == None)
+    // WHATWG prescan: a declared utf-16* cannot be honored (the prescan
+    // only reads ASCII-compatible bytes — a real UTF-16 stream is caught
+    // by the BOM sniff) → mapped to UTF-8
+    assert(CharDecoder.sniffMetaCharset("<meta charset=utf-16>") == Some("UTF-8"))
+    assert(CharDecoder.sniffMetaCharset("<meta charset='UTF-16LE'>") == Some("UTF-8"))
+    val fakeUtf16 = "<html><head><meta charset=utf-16></head><body><p>café</p></body></html>"
+      .getBytes("UTF-8")
+    assert(SgmlParser.parseBytes(fakeUtf16, h).spans(h).map(_.text) == Vector("café"),
+      "declared utf-16 in an ASCII-compatible stream must decode as UTF-8")
+    // the charset token must start at a token boundary — an incidental
+    // '…charset=' inside a content attribute's free text mid-word is not
+    // a declaration
+    assert(CharDecoder.sniffMetaCharset(
+      "<meta content=\"nocharset=koi8-r\">") == None)
   }
 
   test("F12c html5 dialect: WHATWG entity table + void elements") {
