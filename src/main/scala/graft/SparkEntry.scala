@@ -508,6 +508,62 @@ object SparkEntry {
       |         ELSE 0 END AS INTEGER) AS sample_rate
       |  FROM mb)""".stripMargin
 
+  /** sf-aware oracle completion (what `graft.Verify` dumps): after the
+    * deterministic driver-side Lloyd's fit, e4's quantizer centroids are
+    * plain literals — interpolated here as a VALUES table so DuckDB
+    * replays the ENTIRE IVF path from scratch: cell assignment (argmin
+    * L2 with the same sequential double accumulation as the UDF loop),
+    * nprobe=4 multi-probe (same distance, same (dist, cell) tie-break),
+    * and exact-cosine top-k ranking. The context-free `oracleSql` map
+    * stays the static driver contract; e4 is the one entry that needs
+    * the data-dependent (but deterministic) fit to be SQL-expressible. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql + ("e4_knn_ivf" -> e4IvfSql(spark, sfDir))
+
+  private def e4IvfSql(spark: SparkSession, sfDir: String): String = {
+    val raw = Similarity.embeddings(spark, sfDir)
+    val centers = Similarity.fitCenters(raw, raw.count(), nlist = 16)
+    // Double.toString round-trips exactly; DuckDB parses the same decimal
+    // (incl. scientific notation) back to the identical IEEE double
+    val cvals = centers.zipWithIndex.map { case (c, i) =>
+      c.mkString(s"($i, [", ", ", "])")
+    }.mkString(",\n      |    ").stripMargin
+    s"""WITH c(cell, v) AS (VALUES
+      |    $cvals),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |dist AS ( -- argmin input: sequential left-fold ≡ the UDF's += loop
+      |  SELECT e.vec_id, c.cell,
+      |    list_reduce(list_transform(range(1, ${Similarity.Dim + 1}), i ->
+      |      (e.emb[i] - c.v[i]) * (e.emb[i] - c.v[i])), (a, b) -> a + b) AS d2
+      |  FROM e CROSS JOIN c),
+      |asg AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM dist) t WHERE rn = 1),
+      |qp AS ( -- nprobe=4 nearest centroids per query, ties to lowest cell
+      |  SELECT vec_id AS query_id, cell AS q_cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM dist WHERE vec_id < 10) t WHERE rn <= 4),
+      |cand AS ( -- cells are disjoint → no distinct needed (ditto Spark)
+      |  SELECT qp.query_id, a.vec_id AS neighbor_id, a.cell
+      |  FROM qp JOIN asg a ON a.cell = qp.q_cell AND a.vec_id <> qp.query_id),
+      |scored AS (
+      |  SELECT cd.query_id, cd.neighbor_id, cd.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY cd.query_id
+      |      ORDER BY list_cosine_similarity(eq.embedding, en.embedding) DESC,
+      |               cd.neighbor_id) AS rank
+      |  FROM cand cd
+      |  JOIN embeddings eq ON eq.vec_id = cd.query_id
+      |  JOIN embeddings en ON en.vec_id = cd.neighbor_id)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cell
+      |FROM scored WHERE rank <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "m1_media_meta" ->
       s"""WITH $mediaCtes
