@@ -304,6 +304,18 @@ object SparkEntry {
     "d6_ngram_jaccard" -> ((s, dir) => Dedup.consecutiveJaccard(s, dir)),
     "d7_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     "t10_decontaminate" -> ((s, dir) => Dedup.decontaminate(s, dir)),
+    "t11_decontaminate_external" -> ((s, dir) => {
+      // external-held-out shape: a synthetic benchmark whose eval passages
+      // QUOTE the corpus (first 40 words of every 100th doc) — the corpus
+      // keeps ALL rows (the quoted sources must flag themselves), and the
+      // threshold (3 distinct shared shingles) ignores idiom-level hits
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val heldout = d.filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("h_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 40), " ").as("text"))
+      Dedup.decontaminateAgainst(d, heldout, minOverlap = 3L)
+    }),
 
     // ---- text analysis ----------------------------------------------------
     "t1_text_stats" -> ((s, dir) => {
@@ -778,6 +790,40 @@ object SparkEntry {
         |  COALESCE(hits.n_shared, 0) AS n_shared,
         |  COALESCE(hits.n_shared, 0) > 0 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+        |LEFT JOIN hits ON hits.doc_id = d.doc_id""".stripMargin,
+    // external-held-out decontamination: the held-out side is rebuilt in
+    // SQL exactly as the Spark query builds it (first 40 RAW words —
+    // slice before lowering, mirroring slice(split(trim(text)))[1:40] —
+    // then the shared shingle/hash chain), threshold >= 3
+    "t11_decontaminate_external" ->
+      s"""WITH ${minhashCtesFrom("documents")},
+        |hw AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_split_to_array(TRIM(text), '\\s+')[1:40], x -> lower(x)),
+        |      x -> x <> '') AS words
+        |  FROM documents WHERE doc_id % 100 = 7),
+        |hg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(words) = 0 THEN []::VARCHAR[]
+        |         WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(words) - 1),
+        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    END AS sh
+        |  FROM hw),
+        |hu AS (
+        |  SELECT DISTINCT list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(regexp_extract_all(s, '.'), c -> ord(c)::BIGINT)),
+        |      (h, cp) -> (h * 31 + cp) % 4294967296) AS h
+        |  FROM (SELECT unnest(sh) AS s FROM hg)),
+        |hits AS (
+        |  SELECT u.doc_id, COUNT(DISTINCT u.h) AS n_shared
+        |  FROM u JOIN hu ON hu.h = u.h
+        |  GROUP BY u.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(hits.n_shared, 0) AS n_shared,
+        |  COALESCE(hits.n_shared, 0) >= 3 AS contaminated
+        |FROM documents d
         |LEFT JOIN hits ON hits.doc_id = d.doc_id""".stripMargin,
     "d2_minhash_bands" ->
       s"WITH ${minhashCtesFrom("documents")} SELECT doc_id, band, band_hash FROM bands",

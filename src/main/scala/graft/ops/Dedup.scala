@@ -323,20 +323,39 @@ object Dedup {
   def decontaminate(spark: SparkSession, sfDir: String,
       contamIds: Int = 10): DataFrame = {
     val d = documents(spark, sfDir).select(col("doc_id"), col("text"))
+    decontaminateAgainst(
+      d.filter(col("doc_id") >= contamIds),
+      d.filter(col("doc_id") < contamIds))
+  }
+
+  /** Decontamination against ANY external held-out frame — the shape a
+    * real benchmark-decontam job needs: `heldout` is an arbitrary
+    * (id, `textCol`) table (a loaded eval set, NOT a slice of the
+    * corpus), and `minOverlap` sets how many distinct shared shingles
+    * make a corpus document "contaminated" (1 = any overlap; real
+    * pipelines use 3–10 to ignore idiom-level collisions). Same plan as
+    * `decontaminate`: the held-out side reduces to a DISTINCT shingle-
+    * hash set that BROADCASTS (eval suites are ≪ corpus); the corpus
+    * side is one narrow shingle explode + broadcast hash join + per-doc
+    * distinct count — no corpus-side shuffle besides that aggregation,
+    * so the whole check is one pass over the corpus at any scale. */
+  def decontaminateAgainst(corpus: DataFrame, heldout: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minOverlap: Long = 1L): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
     val shUdf = udf((t: String) => shingles(t).toSeq.map(shingleHash))
-    val hashed = d.select(col("doc_id"), shUdf(col("text")).as("hs"))
-    val contam = hashed.filter(col("doc_id") < contamIds)
-      .select(explode(col("hs")).as("h")).distinct()
-    val hits = hashed.filter(col("doc_id") >= contamIds)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val contam = heldout
+      .select(explode(shUdf(col(textCol))).as("h")).distinct()
+    val hits = corpus
+      .select(col(idCol), explode(shUdf(col(textCol))).as("h"))
       .join(broadcast(contam), "h")
-      .groupBy(col("doc_id"))
+      .groupBy(col(idCol))
       .agg(countDistinct(col("h")).as("n_shared"))
-    d.filter(col("doc_id") >= contamIds).select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        (coalesce(col("n_shared"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
   /** Exact n-gram (word 3-shingle) Jaccard similarity. */

@@ -62,10 +62,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "e4_knn_ivf"            -> 1,
     "e5_ann_recall"         -> 5, // union of three knn legs + recall agg
     "p1_curate"             -> 4, // quality→exact-dedup→fuzzy→lang-id stages
-    "p2_curate_clustered"   -> 1, // keeper semi-join; cluster rounds + parse live behind checkpoint/cache
+    "p2_curate_clustered"   -> 2, // keeper semi-join shuffles BOTH sides since the
+    // path-halving rewrite: keepers come out of the halving join, so their
+    // partitioning no longer lines up with doc_id. The right shape anyway —
+    // keepers ≈ corpus-sized at scale, never broadcastable; cluster rounds +
+    // parse still live behind checkpoint/cache.
     "q1_lineitem_agg"       -> 1,
     "q10_source_stats"      -> 1, // percentile agg: partial + one exchange
     "t10_decontaminate"     -> 3, // contam distinct + per-doc countDistinct + left join (contam side broadcasts)
+    "t11_decontaminate_external" -> 3, // same chain as t10 over an external held-out frame
     "q2_join_agg"           -> 1, // dims broadcast; one agg exchange
     "q3_window_first_event" -> 1,
     "q4_topk_revenue"       -> 1,
