@@ -54,7 +54,8 @@ object Pipeline {
         space = kv.getOrElse("space", "preserve")),
       minJaccard = kv.getOrElse("minJaccard", "0.5").toDouble,
       partitions = kv.getOrElse("partitions", "0").toInt,
-      maxBucket = kv.getOrElse("maxBucket", Int.MaxValue.toString).toInt)
+      maxBucket = kv.get("maxBucket").map(_.toInt)
+        .getOrElse(Config().maxBucket))
     run(spark, args(0), args(1), cfg,
       runId = kv.getOrElse("runId", "run-0"),
       format = kv.getOrElse("format", "parquet"))
@@ -66,9 +67,14 @@ object Pipeline {
       minJaccard: Double = 0.5,
       partitions: Int = 0, // 0 = leave the input partitioning alone
       /** LSH mega-bucket cap (Dedup.verifiedPairsOf) — the 100 TB safety
-        * valve; production sets O(10³). Default uncapped for oracle
-        * parity at test SFs. */
-      maxBucket: Int = Int.MaxValue)
+        * valve, ON by default: a bucket holding >1000 docs is template/
+        * boilerplate mass whose Σ|bucket|² pair explosion can stall a
+        * stage, and exact dedup upstream already collapsed true copies.
+        * Every capped run is auditable — `run` writes a
+        * `fuzzy_dedup_cap` lineage row with dropped_buckets/dropped_rows.
+        * The oracle entries (p1/p2) pass Int.MaxValue explicitly: the
+        * uncapped path stays value-verified against DuckDB. */
+      maxBucket: Int = 1000)
 
   /** Contract table (doc_id, spans) → curated (doc_id, text, predicted_lang,
     * n_words). */
@@ -93,25 +99,32 @@ object Pipeline {
       .select(col("doc_id"), col("text"), col("n_words"))
   }
 
+  /** Stage 3: exact dedup — keep the lowest doc_id per content hash.
+    * Window + row_number, one shuffle, no join. */
+  private def exactStage(quality: DataFrame): DataFrame = {
+    val wHash = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    quality
+      .withColumn("__rn", row_number().over(wHash))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Stages 2-5 over an ALREADY-extracted frame (doc_id, spans, errors) —
     * lets `run` parse once and feed several consumers. */
   def curateExtracted(extracted: DataFrame, cfg: Config = Config()): DataFrame = {
     // 2: concat text + quality metrics, drop failed/junk docs
     val quality = qualityStage(extracted)
     // 3: exact dedup — keep the lowest doc_id per content hash.
-    // PERSISTED: the fuzzy stage references this subtree four times
-    // (bands, both verify-join text sides, anti-join left); without the
-    // persist each branch re-executes the parse kernel — the dominant
-    // cost — under a different column pruning, which also defeats
-    // exchange reuse. MEMORY_AND_DISK holds the post-quality text
+    // CACHED (Dedup.swapCache): the fuzzy stage references this subtree
+    // four times (bands, both verify-join text sides, anti-join left);
+    // without the cache each branch re-executes the parse kernel — the
+    // dominant cost — under a different column pruning, which also
+    // defeats exchange reuse. swapCache releases the copy a previous
+    // invocation cached, so repeated calls on a long-lived session hold
+    // at most one copy. MEMORY_AND_DISK holds the post-quality text
     // corpus; at sizes where that is unwelcome, materialize to a table
     // (Pipeline.run's extracted product plays that role for the parse
     // leg) and curate from the re-read.
-    val wHash = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val exact = quality
-      .withColumn("__rn", row_number().over(wHash))
-      .filter(col("__rn") === 1).drop("__rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = Dedup.swapCache("p1-exact", exactStage(quality))
     // 4: fuzzy dedup — drop the greater member of every verified pair
     val losers = Dedup.verifiedPairsOf(exact, "doc_id", "text",
         cfg.minJaccard, cfg.maxBucket)
@@ -139,11 +152,7 @@ object Pipeline {
       else docs
     val extracted = SgmlExtract.extractDf(repart, cfg.extract)
     val quality = qualityStage(extracted)
-    val wHash = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val exact = quality
-      .withColumn("__rn", row_number().over(wHash))
-      .filter(col("__rn") === 1).drop("__rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = Dedup.swapCache("p2-exact", exactStage(quality))
     val pairs = Dedup.verifiedPairsOf(exact, "doc_id", "text",
       cfg.minJaccard, cfg.maxBucket)
     val keepers = Dedup.clustersOf(pairs, exact.select(col("doc_id")))
@@ -171,16 +180,48 @@ object Pipeline {
       .withColumn("__pid", spark_partition_id())
       .write.mode("overwrite").parquet(s"$outPath/extracted")
     val extracted = spark.read.parquet(s"$outPath/extracted")
-    extracted
+    val extractRows = extracted
       .groupBy(col("__pid").as("partition_id"))
       .agg(count(lit(1)).as("docs"),
         sum(expr("aggregate(spans, 0L, (a, s) -> a + length(coalesce(s.text, '')))")).as("bytes"),
         sum(size(col("spans")).cast("long")).as("spans"),
         sum(size(col("errors")).cast("long")).as("errors"))
-      .withColumn("run_id", lit(runId))
-      .select("run_id", "partition_id", "docs", "bytes", "spans", "errors")
-      .write.mode("overwrite").parquet(s"$outPath/lineage")
-    curateExtracted(extracted.drop("__pid"), cfg)
+      .select(lit(runId).as("run_id"), lit("extract").as("stage"),
+        col("partition_id"), col("docs"), col("bytes"), col("spans"),
+        col("errors"),
+        lit(null).cast("long").as("dropped_buckets"),
+        lit(null).cast("long").as("dropped_rows"))
+    // Stages 3-5 inlined (vs curateExtracted) so the banded frame is
+    // SHARED between pair generation and the cap-audit lineage row —
+    // a capped run must be auditable without a second signature pass.
+    val exact = Dedup.swapCache("run-exact",
+      exactStage(qualityStage(extracted.drop("__pid"))))
+    val banded = Dedup.bandsOf(exact, "doc_id", "text")
+    val losers = Dedup.verifiedPairsFromBands(banded, exact, "doc_id",
+        "text", cfg.minJaccard, cfg.maxBucket)
+      .select(col("id_b").as("doc_id")).distinct()
+    TextOps.withLangId(exact.join(losers, Seq("doc_id"), "left_anti"))
+      .select(col("doc_id"), col("text"), col("predicted_lang"),
+        col("n_words"))
       .write.mode("overwrite").parquet(s"$outPath/curated")
+    // Lineage LAST: per-partition extract metrics, plus the valve audit
+    // row whenever a cap is active (zeros when nothing was dropped — the
+    // row's presence is the audit; reads banded from the capBuckets
+    // cache, no second signature pass). Uncapped runs have no valve to
+    // audit and skip the row rather than pay an extra banded pass.
+    val lineage =
+      if (cfg.maxBucket == Int.MaxValue) extractRows
+      else extractRows.unionByName(
+        Dedup.droppedBucketStats(banded, Seq("band", "band_hash"),
+            cfg.maxBucket)
+          .select(lit(runId).as("run_id"),
+            lit("fuzzy_dedup_cap").as("stage"),
+            lit(null).cast("int").as("partition_id"),
+            lit(null).cast("long").as("docs"),
+            lit(null).cast("long").as("bytes"),
+            lit(null).cast("long").as("spans"),
+            lit(null).cast("long").as("errors"),
+            col("dropped_buckets"), col("dropped_rows")))
+    lineage.write.mode("overwrite").parquet(s"$outPath/lineage")
   }
 }

@@ -280,7 +280,10 @@ object SparkEntry {
       // connected component (min doc_id) — catches the transitive-chain
       // over-keep the pairwise rule misses; oracle replays with a
       // recursive-CTE closure
-      Pipeline.curateClustered(SgmlExtract.wrapDocuments(s, dir).toDF())
+      // maxBucket = MaxValue: the ORACLE path stays uncapped (the DuckDB
+      // replay has no valve); production keeps the capped Config default
+      Pipeline.curateClustered(SgmlExtract.wrapDocuments(s, dir).toDF(),
+          Pipeline.Config(maxBucket = Int.MaxValue))
         .select(col("doc_id"), col("text"), col("predicted_lang"),
           col("n_words").cast("long").as("n_words"))),
     "p1_curate" -> ((s, dir) => {
@@ -290,7 +293,8 @@ object SparkEntry {
       // doc_id stays the contract STRING — the exact-dedup window and the
       // pair ordering compare lexicographically, and the oracle mirrors
       // that with VARCHAR ids
-      Pipeline.curate(SgmlExtract.wrapDocuments(s, dir).toDF())
+      Pipeline.curate(SgmlExtract.wrapDocuments(s, dir).toDF(),
+          Pipeline.Config(maxBucket = Int.MaxValue)) // uncapped oracle path
         .select(col("doc_id"), col("text"), col("predicted_lang"),
           col("n_words").cast("long").as("n_words"))
     }),

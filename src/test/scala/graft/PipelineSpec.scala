@@ -78,7 +78,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(curated.count() == 1)
     val lineage = spark.read.parquet(s"$dir/out/lineage")
     assert(lineage.columns.toSet ==
-      Set("run_id", "partition_id", "docs", "bytes", "spans", "errors"))
-    assert(lineage.selectExpr("sum(docs)").collect().head.getLong(0) == 2L)
+      Set("run_id", "stage", "partition_id", "docs", "bytes", "spans",
+        "errors", "dropped_buckets", "dropped_rows"))
+    assert(lineage.filter("stage = 'extract'")
+      .selectExpr("sum(docs)").collect().head.getLong(0) == 2L)
+    // default Config caps the valve → the audit row is always present,
+    // zeros here (no bucket anywhere near 1000 docs)
+    val cap = lineage.filter("stage = 'fuzzy_dedup_cap'").collect()
+    assert(cap.length == 1)
+    assert(cap.head.getAs[Long]("dropped_buckets") == 0L)
+    assert(cap.head.getAs[Long]("dropped_rows") == 0L)
+  }
+
+  test("run(): a firing valve is recorded in lineage, not silent") {
+    // 12 case-variants of one sentence: shingling lowercases, so all 12
+    // share an IDENTICAL shingle set (→ identical minhash signature →
+    // every band bucket holds all 12) while md5(text) differs (exact
+    // dedup keeps all 12). maxBucket=4 drops those size-12 buckets
+    // WHOLE → fuzzy dedup finds no pairs, all 12 survive, and the
+    // lineage audit row records exactly what the valve discarded.
+    val words = quality.split(" ")
+    val tpl = (i: Int) =>
+      words.updated(i % words.length, words(i % words.length).toUpperCase)
+        .mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("pipeline").toString
+    docsOf((1 to 12).map(i => f"t$i%02d" -> tpl(i)): _*)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    Pipeline.run(spark, s"$dir/in", s"$dir/out",
+      Pipeline.Config(maxBucket = 4), runId = "t2")
+    val cap = spark.read.parquet(s"$dir/out/lineage")
+      .filter("stage = 'fuzzy_dedup_cap'").collect()
+    assert(cap.length == 1)
+    assert(cap.head.getAs[Long]("dropped_buckets") > 0L)
+    assert(cap.head.getAs[Long]("dropped_rows") > 0L)
+    // and the capped run keeps the whale cohort instead of pair-exploding
+    assert(spark.read.parquet(s"$dir/out/curated").count() == 12)
   }
 }
