@@ -353,7 +353,7 @@ object SparkEntry {
       Similarity.embeddingNearDups(s, dir, minSim = NearDupMinSim)
         .select(col("id_a"), col("id_b"))),
 
-    // ---- multimodal plumbing (stubbed codec; see MediaOps) ----------------
+    // ---- multimodal: real PNG/WAV decode, video frame decode stubbed ------
     "m1_media_meta" -> ((s, dir) => {
       MediaOps.decodeStub(MediaOps.syntheticAssets(s, dir)).toDF()
         .select(col("media_ref"), col("mime"), col("byte_len"),
@@ -361,14 +361,18 @@ object SparkEntry {
           col("channels"), col("sample_rate"))
     }),
     "m2_media_resize" -> ((s, dir) =>
-      // visual assets only: audio has no dimensions (width = 0)
-      MediaOps.resizeMeta(MediaOps.decodeStub(MediaOps.syntheticAssets(s, dir)).toDF()
-          .filter(col("width") > 0))
-        .select(col("media_ref"), col("width"), col("height"),
-          col("resized_w"), col("resized_h"))),
+      // REAL pixel path: ImageIO-decode every PNG, nearest-neighbor
+      // resample the actual raster into a 64×64 box, fingerprint the
+      // resized pixel stream; the oracle replays pixels from the seed
+      MediaOps.resizePixels(MediaOps.syntheticAssets(s, dir),
+        maxW = 64, maxH = 64)),
     "m3_frame_sample" -> ((s, dir) =>
       MediaOps.sampleFrames(MediaOps.decodeStub(MediaOps.syntheticAssets(s, dir)).toDF())
-        .withColumn("frame_idx", col("frame_idx").cast("long")))
+        .withColumn("frame_idx", col("frame_idx").cast("long"))),
+    "m4_audio_stats" -> ((s, dir) =>
+      // REAL PCM path: javax.sound decodes each WAV, exact integer
+      // sum-of-squares + RMS over the 16-bit samples
+      MediaOps.audioStats(MediaOps.syntheticAssets(s, dir)))
   )
 
   // ---- oracle offsets/fragments DERIVED from the wrapper constants ----
@@ -502,27 +506,35 @@ object SparkEntry {
       |        c -> ord(c)::BIGINT)),
       |      (h, cp) -> (h * 31 + cp) % 4294967296) AS seed
       |  FROM documents),
-      |mb AS (
+      |mb AS ( -- pw/ph: real-pixel PNG dims (small: one stored block/image)
       |  SELECT id, seed,
       |    CASE seed % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
       |         ELSE 'video/mp4' END AS mime,
-      |    CASE seed % 3 WHEN 2 THEN 256 + seed % 192
-      |         ELSE 64 + seed % 192 END AS len
+      |    16 + seed % 128 AS pw, 16 + (seed // 128) % 128 AS ph
       |  FROM ma),
+      |mc AS ( -- png length is the closed form of the stored-deflate file
+      |  SELECT id, seed, mime, pw, ph,
+      |    CASE seed % 3 WHEN 0 THEN 68 + ph * (1 + 3 * pw)
+      |         WHEN 2 THEN 256 + seed % 192
+      |         ELSE 64 + seed % 192 END AS len
+      |  FROM mb),
       |mm AS (
       |  SELECT '${SgmlExtract.AssetPrefix}' || id || '${SgmlExtract.AssetSuffix}' AS media_ref,
       |    mime, CAST(len AS INTEGER) AS byte_len,
-      |    CAST(CASE WHEN mime = 'audio/wav' THEN 0
+      |    CAST(CASE WHEN mime = 'image/png' THEN pw
+      |         WHEN mime = 'audio/wav' THEN 0
       |         ELSE 16 + seed % 1024 END AS INTEGER) AS width,
-      |    CAST(CASE WHEN mime = 'audio/wav' THEN 0
+      |    CAST(CASE WHEN mime = 'image/png' THEN ph
+      |         WHEN mime = 'audio/wav' THEN 0
       |         ELSE 16 + (seed // 1024) % 1024 END AS INTEGER) AS height,
       |    CAST(CASE WHEN mime LIKE 'video%' THEN 1 + (seed // 3) % 300
       |         ELSE 1 END AS INTEGER) AS n_frames,
       |    CAST(CASE WHEN mime = 'audio/wav' THEN 1 + seed % 2
       |         ELSE 0 END AS INTEGER) AS channels,
       |    CAST(CASE WHEN mime = 'audio/wav' THEN 8000 + (seed % 8) * 4000
-      |         ELSE 0 END AS INTEGER) AS sample_rate
-      |  FROM mb)""".stripMargin
+      |         ELSE 0 END AS INTEGER) AS sample_rate,
+      |    seed, len
+      |  FROM mc)""".stripMargin
 
   /** sf-aware oracle completion (what `graft.Verify` dumps): after the
     * deterministic driver-side Lloyd's fit, e4's quantizer centroids are
@@ -585,16 +597,54 @@ object SparkEntry {
       s"""WITH $mediaCtes
         |SELECT media_ref, mime, byte_len, width, height, n_frames,
         |  channels, sample_rate FROM mm""".stripMargin,
+    // m2 replays the REAL pixel path from the seed: same fixed-point
+    // geometry, nearest-neighbor source index sx=⌊rx·w/rw⌋ / sy=⌊ry·h/rh⌋,
+    // closed-form channel value (seed + (srcIdx+1)·K) % P % 256, and the
+    // shared base-31 fold over the resized stream (ry-major, rx, then c)
     "m2_media_resize" ->
       s"""WITH $mediaCtes,
         |sc AS (
-        |  SELECT media_ref, width, height,
-        |    LEAST(256000000 / width, 256000000 / height, 1000000) AS s
-        |  FROM mm WHERE width > 0)
-        |SELECT media_ref, width, height,
-        |  GREATEST(1, CAST(FLOOR(width * s / 1000000) AS INTEGER)) AS resized_w,
-        |  GREATEST(1, CAST(FLOOR(height * s / 1000000) AS INTEGER)) AS resized_h
-        |FROM sc""".stripMargin,
+        |  SELECT media_ref, width, height, seed,
+        |    LEAST(64000000 / width, 64000000 / height, 1000000) AS s
+        |  FROM mm WHERE mime = 'image/png'),
+        |g AS (
+        |  SELECT media_ref, width, height, seed,
+        |    GREATEST(1, CAST(FLOOR(width * s / 1000000) AS INTEGER)) AS resized_w,
+        |    GREATEST(1, CAST(FLOOR(height * s / 1000000) AS INTEGER)) AS resized_h
+        |  FROM sc)
+        |SELECT media_ref, width, height, resized_w, resized_h,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(0, resized_h * resized_w * 3), i ->
+        |      (seed + ((((((i // 3) // resized_w) * height // resized_h) * width
+        |        + (((i // 3) % resized_w) * width // resized_w)) * 3 + i % 3)
+        |        + 1) * 2654435761) % 4294967311 % 256)),
+        |    (h, v) -> (h * 31 + v) % 4294967311) AS pixel_hash
+        |FROM g""".stripMargin,
+    // m4 replays javax.sound's PCM read from the seed: bytes 44… are the
+    // closed-form filler stream; 16-bit LE samples over the frame-aligned
+    // data length, exact Σs², and micro-RMS as ⌊√(Σs²/n)·10⁶⌋
+    "m4_audio_stats" ->
+      s"""WITH $mediaCtes,
+        |w AS (
+        |  SELECT media_ref, channels, sample_rate, seed,
+        |    ((len - 44) // (2 * channels)) * channels AS n_samples
+        |  FROM mm WHERE mime = 'audio/wav'),
+        |sq AS (
+        |  SELECT media_ref, channels, sample_rate,
+        |    CAST(n_samples AS BIGINT) AS n_samples,
+        |    list_sum(list_transform(range(0, n_samples), i ->
+        |      CAST(POWER(
+        |        ((seed + (44 + 2*i + 1) * 2654435761) % 4294967311 % 256 + 128) % 256
+        |        + 256 * (((seed + (44 + 2*i + 2) * 2654435761) % 4294967311 % 256 + 128) % 256)
+        |        - CASE WHEN ((seed + (44 + 2*i + 1) * 2654435761) % 4294967311 % 256 + 128) % 256
+        |               + 256 * (((seed + (44 + 2*i + 2) * 2654435761) % 4294967311 % 256 + 128) % 256)
+        |               >= 32768 THEN 65536 ELSE 0 END, 2) AS BIGINT)))
+        |      AS sum_sq
+        |  FROM w)
+        |SELECT media_ref, channels, sample_rate, n_samples,
+        |  CAST(sum_sq AS BIGINT) AS sum_sq,
+        |  CAST(FLOOR(SQRT(sum_sq / n_samples) * 1000000) AS BIGINT) AS rms_micro
+        |FROM sq""".stripMargin,
     "m3_frame_sample" ->
       s"""WITH $mediaCtes
         |SELECT media_ref, n_frames,

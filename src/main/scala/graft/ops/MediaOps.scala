@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries — see the builder contract): `decodeStub` derives
-  * deterministic fake metadata/features from the bytes. Everything
-  * Spark-side is real and tested: schema, batch iteration shape
-  * (mapPartitions over row batches ≈ the Pandas-UDF batch contract),
-  * partitioning, and the join back to extracted media spans.
+  * Decode status by modality:
+  *  - images: REAL — assets are complete PNGs (`pngEncode`) decoded via
+  *    `javax.imageio` (pure JDK); `resizePixels` resamples actual pixels.
+  *  - audio: REAL — `javax.sound.sampled` parses the WAV and `audioStats`
+  *    folds the PCM samples.
+  *  - video: frame DECODE remains a documented stub (no AV codecs in the
+  *    JDK); the MP4 box structure, frame counts and dimensions are real
+  *    (`sniffMp4`) and `sampleFrames` operates on them.
+  * Everything Spark-side is real and tested either way: schema, batch
+  * iteration shape (mapPartitions over row batches ≈ the Pandas-UDF
+  * batch contract), partitioning, and the join back to extracted spans.
   */
 object MediaOps {
 
@@ -33,6 +38,11 @@ object MediaOps {
     * the Spark side reads them back out of the REAL header bytes). */
   def assetDims(seed: Long): (Int, Int) =
     (16 + (seed % 1024).toInt, 16 + (seed / 1024 % 1024).toInt)
+  /** PNG assets carry REAL pixel data, so their dims stay small enough
+    * that one stored-deflate block holds a whole image (h·(1+3w) ≤ 65535
+    * ⇒ w,h ≤ 143) and per-pixel oracle replay stays cheap. */
+  def pngDims(seed: Long): (Int, Int) =
+    (16 + (seed % 128).toInt, 16 + (seed / 128 % 128).toInt)
   def wavChannels(seed: Long): Int = 1 + (seed % 2).toInt
   def wavSampleRate(seed: Long): Int = 8000 + ((seed % 8) * 4000).toInt
   def mp4Frames(seed: Long): Int = 1 + (seed / 3 % 300).toInt
@@ -99,6 +109,79 @@ object MediaOps {
     be32(w.toLong << 16); be32(h.toLong << 16) // 16.16 fixed
     out
   }
+
+  /** Closed-form channel value at flat raster index `idx` (= (y·w+x)·3+c,
+    * row-major RGB) — additive form on purpose: (idx+1)·K ≤ 2^48, so the
+    * mod chain stays in int64 for the DuckDB replay (no int128 needed). */
+  @inline def pngPixel(seed: Long, idx: Long): Int =
+    ((seed + (idx + 1) * MediaK) % MediaP % 256).toInt
+
+  /** A COMPLETE real PNG — signature, IHDR, one IDAT, IEND, all CRCs and
+    * the zlib adler32 genuine — whose pixels follow `pngPixel` and whose
+    * IDAT uses a single STORED deflate block, so the total byte length is
+    * closed-form (68 + h·(1+3w)) and the oracle recomputes it from the
+    * seed while `javax.imageio` decodes the file like any other PNG.
+    * Truecolor 8-bit, filter 0 on every scanline. */
+  def pngEncode(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + 3 * w)) // filter byte + RGB per row
+    var p = 0
+    var idx = 0L
+    var y = 0
+    while (y < h) {
+      raw(p) = 0 // filter: None
+      p += 1
+      var i = 0
+      val rowBytes = 3 * w
+      while (i < rowBytes) {
+        raw(p) = pngPixel(seed, idx).toByte
+        p += 1; idx += 1; i += 1
+      }
+      y += 1
+    }
+    require(raw.length <= 65535, s"stored deflate block overflow: ${raw.length}")
+    val zlib = new Array[Byte](2 + 5 + raw.length + 4)
+    zlib(0) = 0x78; zlib(1) = 0x01 // CMF/FLG, (0x7801 % 31 == 0)
+    zlib(2) = 0x01 // final stored block
+    zlib(3) = raw.length.toByte; zlib(4) = (raw.length >>> 8).toByte
+    zlib(5) = (~raw.length).toByte; zlib(6) = ((~raw.length) >>> 8).toByte
+    System.arraycopy(raw, 0, zlib, 7, raw.length)
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    val a = adler.getValue
+    zlib(zlib.length - 4) = (a >>> 24).toByte
+    zlib(zlib.length - 3) = (a >>> 16).toByte
+    zlib(zlib.length - 2) = (a >>> 8).toByte
+    zlib(zlib.length - 1) = a.toByte
+    val out = new java.io.ByteArrayOutputStream(68 + raw.length)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val buf = new Array[Byte](8 + data.length + 4)
+      def be32(off: Int, v: Long): Unit = {
+        buf(off) = (v >>> 24).toByte; buf(off + 1) = (v >>> 16).toByte
+        buf(off + 2) = (v >>> 8).toByte; buf(off + 3) = v.toByte
+      }
+      be32(0, data.length.toLong)
+      var i = 0
+      while (i < 4) { buf(4 + i) = typ.charAt(i).toByte; i += 1 }
+      System.arraycopy(data, 0, buf, 8, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(buf, 4, 4 + data.length)
+      be32(8 + data.length, crc.getValue)
+      out.write(buf)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, truecolor
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zlib)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+  /** Closed-form total length of a `pngEncode` file. */
+  def pngByteLen(w: Int, h: Int): Int = 68 + h * (1 + 3 * w)
 
   /** WAV metadata from real header bytes: walk RIFF chunks to `fmt `,
     * read channels + sample rate. None when not a RIFF/WAVE stream. */
@@ -211,22 +294,29 @@ object MediaOps {
           case 1 => "audio/wav"
           case _ => "video/mp4"
         }
-        val len =
-          if (mime == "video/mp4") 256 + (seed % 192).toInt
-          else 64 + (seed % 192).toInt
-        val bytes = new Array[Byte](len)
-        var j = 0
-        while (j < len) {
-          bytes(j) = (((seed + (j + 1) * MediaK) % MediaP % 256) - 128).toByte
-          j += 1
-        }
-        val (w, h) = assetDims(seed)
-        val header = mime match {
-          case "image/png" => pngHeader(w, h)
-          case "audio/wav" => wavHeader(wavChannels(seed), wavSampleRate(seed), len)
-          case _           => mp4Header(w, h, mp4Frames(seed))
-        }
-        System.arraycopy(header, 0, bytes, 0, header.length)
+        val bytes =
+          if (mime == "image/png") {
+            // a COMPLETE decodable PNG: real pixels, closed-form length
+            val (w, h) = pngDims(seed)
+            pngEncode(w, h, seed)
+          } else {
+            val len =
+              if (mime == "video/mp4") 256 + (seed % 192).toInt
+              else 64 + (seed % 192).toInt
+            val b = new Array[Byte](len)
+            var j = 0
+            while (j < len) {
+              b(j) = (((seed + (j + 1) * MediaK) % MediaP % 256) - 128).toByte
+              j += 1
+            }
+            val (w, h) = assetDims(seed)
+            val header = mime match {
+              case "audio/wav" => wavHeader(wavChannels(seed), wavSampleRate(seed), len)
+              case _           => mp4Header(w, h, mp4Frames(seed))
+            }
+            System.arraycopy(header, 0, b, 0, header.length)
+            b
+          }
         MediaRow(graft.SgmlExtract.AssetPrefix + id + graft.SgmlExtract.AssetSuffix,
           bytes, mime)
       }
@@ -272,14 +362,15 @@ object MediaOps {
     } else None
   }
 
-  /** Header metadata is REAL for every major format — `sniffImage`
-    * (PNG/GIF/JPEG dimensions), `sniffWav` (channels + sample rate),
-    * `sniffMp4` (mvhd frame count + tkhd dimensions) all parse the actual
-    * bytes, no codec libraries needed. Only pixel/sample/frame DECODE
-    * remains a clearly-marked stub (this container ships no AV codecs):
-    * the 8-dim "feature" is a byte histogram, and unrecognized payloads
-    * fall back to hash-derived dimensions. Batched per partition like a
-    * Pandas UDF batch. */
+  /** Header-level metadata pass (the m1 shape): `sniffImage` (PNG/GIF/
+    * JPEG dimensions), `sniffWav` (channels + sample rate), `sniffMp4`
+    * (mvhd frame count + tkhd dimensions) all parse the actual bytes, no
+    * codec libraries needed — a metadata scan must not pay full decode.
+    * Content decode lives in `resizePixels` (real pixels via ImageIO) and
+    * `audioStats` (real PCM via javax.sound); only VIDEO frame decode is
+    * a stub (no AV codecs in the JDK). The 8-dim "feature" here is a byte
+    * histogram, and unrecognized payloads fall back to hash-derived
+    * dimensions. Batched per partition like a Pandas UDF batch. */
   def decodeStub(assets: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -318,6 +409,112 @@ object MediaOps {
     }
   }
 
+  /** REAL image decode — `javax.imageio` (pure JDK, no external codecs):
+    * returns (width, height, row-major RGB bytes). None when ImageIO has
+    * no reader for the payload (then the caller falls back to header
+    * sniffing / the documented stub). getRGB on an sRGB 8-bit source
+    * returns the raw channel values — exact for our gamma-less PNGs. */
+  def decodeImage(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(p) = (rgb >>> 16).toByte; out(p + 1) = (rgb >>> 8).toByte
+        out(p + 2) = rgb.toByte
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** m2's REAL pixel path: decode each image via `decodeImage`, resize by
+    * nearest-neighbor over the ACTUAL raster (integer source indices
+    * sx=⌊rx·w/rw⌋, sy=⌊ry·h/rh⌋ — exact, SQL-replicable), and fingerprint
+    * the resized pixel stream with the base-31 fold the oracles share.
+    * Geometry matches `resizeMeta` bit for bit (same fixed-point-via-
+    * double scale). Non-decodable payloads are skipped (flatMap) — at
+    * scale this stage follows the m1 metadata pass, which already
+    * classified them. Narrow mapPartitions, no shuffle. */
+  def resizePixels(assets: Dataset[MediaRow],
+      maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { m =>
+      decodeImage(m.bytes).map { case (w, h, px) =>
+        val s = math.min(math.min(maxW * 1000000L.toDouble / w,
+          maxH * 1000000L.toDouble / h), 1000000.0)
+        val rw = math.max(1, (w * s / 1000000L).toInt)
+        val rh = math.max(1, (h * s / 1000000L).toInt)
+        var hash = 0L
+        var ry = 0
+        while (ry < rh) {
+          val sy = ry * h / rh
+          var rx = 0
+          while (rx < rw) {
+            val sx = rx * w / rw
+            val base = (sy * w + sx) * 3
+            var c = 0
+            while (c < 3) {
+              hash = (hash * 31 + (px(base + c) & 0xFF)) % MediaP
+              c += 1
+            }
+            rx += 1
+          }
+          ry += 1
+        }
+        (m.media_ref, w, h, rw, rh, hash)
+      }
+    }.toDF("media_ref", "width", "height", "resized_w", "resized_h",
+      "pixel_hash")
+  }
+
+  /** REAL audio decode — `javax.sound.sampled` (pure JDK): parse the WAV
+    * through AudioSystem, read the frame-aligned PCM stream, fold 16-bit
+    * little-endian samples into count / exact sum-of-squares / RMS.
+    * Non-audio payloads are skipped. Narrow mapPartitions, no shuffle. */
+  def audioStats(assets: Dataset[MediaRow]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { m =>
+      val decoded =
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.bytes))
+          val fmt = in.getFormat
+          Some((fmt.getChannels, fmt.getSampleRate.toInt, in.readAllBytes()))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+      decoded.map { case (channels, rate, data) =>
+        val n = data.length / 2
+        var sumSq = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toLong
+          sumSq += s * s
+          i += 1
+        }
+        (m.media_ref, channels, rate, n.toLong, sumSq)
+      }
+    }.toDF("media_ref", "channels", "sample_rate", "n_samples", "sum_sq")
+      // micro-RMS as an exact integer: ⌊√(Σs²/n)·10⁶⌋ — floor of a
+      // deterministic IEEE chain replicates across engines (ROUND's
+      // half-way tie rules do not, bit-for-bit)
+      .withColumn("rms_micro",
+        floor(sqrt(col("sum_sq") / col("n_samples")) * lit(1000000.0))
+          .cast("long"))
+  }
+
   /** Join decoded media metadata back onto extracted media spans —
     * media side is derived-small here; at scale this is the spans⋈assets
     * equi-join on media_ref (broadcast when the asset dim is small). */
@@ -326,13 +523,14 @@ object MediaOps {
       .join(meta, Seq("media_ref"), "left")
   }
 
-  /** Resize to fit a bounding box, aspect preserved. The ×1e6 scale
-    * factor is fixed-point-via-double: Spark's `/` on integral columns is
-    * IEEE double division (integer division is `div`), so the result is
-    * bit-deterministic and the truncating int cast below replicates in
-    * SQL as FLOOR. STUB: only the dimension arithmetic is real; a
-    * production codec would also re-encode pixels here. Narrow, codegen'd
-    * column expressions — no UDF needed for the geometry. */
+  /** Resize GEOMETRY to fit a bounding box, aspect preserved — the
+    * metadata-only planning pass (what a scheduler sizes batches with);
+    * `resizePixels` applies the same geometry to real pixels. The ×1e6
+    * scale factor is fixed-point-via-double: Spark's `/` on integral
+    * columns is IEEE double division (integer division is `div`), so the
+    * result is bit-deterministic and the truncating int cast below
+    * replicates in SQL as FLOOR. Narrow, codegen'd column expressions —
+    * no UDF needed for the geometry. */
   def resizeMeta(meta: DataFrame, maxW: Int = 256, maxH: Int = 256): DataFrame = {
     // scale = min(maxW/w, maxH/h, 1), fixed-point ×1e6 carried in doubles
     val s = least(lit(maxW * 1000000L) / col("width"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
+import graft.ops.Dedup
 
 /** Spark-surface integration tests: the mapPartitions extraction kernel,
   * interleaved media passthrough through the Dataset API, lineage rows,
@@ -446,5 +447,83 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
       idxs.sliding(2).foreach { case Array(a, b) => assert(b - a == 30); case _ => }
       assert(idxs.last < rows.head.getAs[Int]("n_frames"))
     }
+  }
+
+  test("real PNG decode: pngEncode → javax.imageio roundtrips every pixel") {
+    import graft.ops.MediaOps
+    for (seed <- Seq(0L, 7L, 4294967295L, 123456789L)) {
+      val (w, h) = MediaOps.pngDims(seed)
+      val bytes = MediaOps.pngEncode(w, h, seed)
+      assert(bytes.length == MediaOps.pngByteLen(w, h)) // closed-form length
+      // a genuinely independent decoder (the JDK's) must read it…
+      val Some((dw, dh, px)) = MediaOps.decodeImage(bytes)
+      assert(dw == w && dh == h)
+      // …and hand back the closed-form channel values bit-for-bit
+      var idx = 0
+      while (idx < px.length) {
+        assert((px(idx) & 0xFF) == MediaOps.pngPixel(seed, idx.toLong),
+          s"seed=$seed idx=$idx")
+        idx += 1
+      }
+      // header sniffer agrees with the full decoder
+      assert(MediaOps.sniffImage(bytes) === Some(("image/png", w, h)))
+    }
+    assert(MediaOps.decodeImage("not an image".getBytes("ASCII")) === None)
+  }
+
+  test("real pixel resize: nearest-neighbor over the decoded raster") {
+    import graft.ops.MediaOps
+    val out = MediaOps.resizePixels(MediaOps.syntheticAssets(spark, sf),
+      maxW = 64, maxH = 64).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (rw, rh) = (r.getAs[Int]("resized_w"), r.getAs[Int]("resized_h"))
+      assert(rw <= 64 && rh <= 64 && rw >= 1 && rh >= 1)
+      if (w <= 64 && h <= 64) assert(rw == w && rh == h)
+      assert(r.getAs[Long]("pixel_hash") >= 0L)
+    }
+    // independent replay of one row: decode, sample, fold — must agree
+    val seedOf = (ref: String) => Dedup.shingleHash(
+      ref.stripPrefix(SgmlExtract.AssetPrefix).stripSuffix(SgmlExtract.AssetSuffix))
+    val sample = out.head
+    val seed = seedOf(sample.getAs[String]("media_ref"))
+    val (w, h) = MediaOps.pngDims(seed)
+    val (rw, rh) = (sample.getAs[Int]("resized_w"), sample.getAs[Int]("resized_h"))
+    var expect = 0L
+    for (ry <- 0 until rh; rx <- 0 until rw; c <- 0 until 3) {
+      val srcIdx = (((ry * h / rh) * w + (rx * w / rw)) * 3 + c).toLong
+      expect = (expect * 31 + MediaOps.pngPixel(seed, srcIdx)) % MediaOps.MediaP
+    }
+    assert(sample.getAs[Long]("pixel_hash") == expect)
+  }
+
+  test("real WAV decode: javax.sound PCM stats match the filler stream") {
+    import graft.ops.MediaOps
+    val out = MediaOps.audioStats(MediaOps.syntheticAssets(spark, sf)).collect()
+    assert(out.nonEmpty)
+    // independent replay of one row straight from the closed form
+    val sample = out.head
+    val seed = Dedup.shingleHash(sample.getAs[String]("media_ref")
+      .stripPrefix(SgmlExtract.AssetPrefix).stripSuffix(SgmlExtract.AssetSuffix))
+    val len = 64 + (seed % 192).toInt
+    val channels = MediaOps.wavChannels(seed)
+    assert(sample.getAs[Int]("channels") == channels)
+    assert(sample.getAs[Int]("sample_rate") == MediaOps.wavSampleRate(seed))
+    val nSamples = (len - 44) / (2 * channels) * channels
+    assert(sample.getAs[Long]("n_samples") == nSamples.toLong)
+    def fillerU(j: Int): Int =
+      ((((seed + (j + 1) * MediaOps.MediaK) % MediaOps.MediaP % 256) - 128).toByte & 0xFF)
+    var sumSq = 0L
+    for (i <- 0 until nSamples) {
+      val v = fillerU(44 + 2 * i) | (fillerU(44 + 2 * i + 1) << 8)
+      val s = v.toShort.toLong
+      sumSq += s * s
+    }
+    assert(sample.getAs[Long]("sum_sq") == sumSq)
+    assert(sample.getAs[Long]("rms_micro") ==
+      math.floor(math.sqrt(sumSq.toDouble / nSamples) * 1000000.0).toLong)
+    assert(out.length ==
+      MediaOps.syntheticAssets(spark, sf).filter(_.mime == "audio/wav").count())
   }
 }
