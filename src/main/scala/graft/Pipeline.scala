@@ -34,7 +34,7 @@ object Pipeline {
     * {{{
     * spark-submit --class graft.Pipeline <jar> <inPath> <outPath> \
     *   [dialect=html4] [space=preserve] [minJaccard=0.5] [partitions=0] \
-    *   [runId=run-0] [format=parquet]
+    *   [runId=run-0] [format=parquet] [resume=true]
     * }}}
     * Writes `<outPath>/{extracted,curated,lineage}`. */
   def main(args: Array[String]): Unit = {
@@ -58,7 +58,8 @@ object Pipeline {
         .getOrElse(Config().maxBucket))
     run(spark, args(0), args(1), cfg,
       runId = kv.getOrElse("runId", "run-0"),
-      format = kv.getOrElse("format", "parquet"))
+      format = kv.getOrElse("format", "parquet"),
+      resume = kv.getOrElse("resume", "true").toBoolean)
     spark.stop()
   }
 
@@ -170,15 +171,26 @@ object Pipeline {
     * pattern). */
   def run(spark: SparkSession, inPath: String, outPath: String,
       cfg: Config = Config(), runId: String = "run-0",
-      format: String = "parquet"): Unit = {
-    val docs = SgmlExtract.readDocs(spark, inPath, format).toDF()
-    val repart =
-      if (cfg.partitions > 0)
-        SgmlExtract.sizeAwareRepartition(docs, cfg.partitions)
-      else docs
-    SgmlExtract.extractDf(repart, cfg.extract)
-      .withColumn("__pid", spark_partition_id())
-      .write.mode("overwrite").parquet(s"$outPath/extracted")
+      format: String = "parquet", resume: Boolean = true): Unit = {
+    // Stage-level resume (north rule "partial runs continue without
+    // recomputation"): a committed extracted product (_SUCCESS present)
+    // is the checkpoint — a re-run after a crash in the curation leg
+    // skips the parse, the expensive stage, entirely. File-granular
+    // resume WITHIN the parse leg is graft.Resume (manifest per input
+    // file); compose them by pointing `inPath` at Resume's output.
+    val successMarker =
+      new org.apache.hadoop.fs.Path(s"$outPath/extracted/_SUCCESS")
+    val fs = successMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(resume && fs.exists(successMarker))) {
+      val docs = SgmlExtract.readDocs(spark, inPath, format).toDF()
+      val repart =
+        if (cfg.partitions > 0)
+          SgmlExtract.sizeAwareRepartition(docs, cfg.partitions)
+        else docs
+      SgmlExtract.extractDf(repart, cfg.extract)
+        .withColumn("__pid", spark_partition_id())
+        .write.mode("overwrite").parquet(s"$outPath/extracted")
+    }
     val extracted = spark.read.parquet(s"$outPath/extracted")
     val extractRows = extracted
       .groupBy(col("__pid").as("partition_id"))

@@ -90,6 +90,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(cap.head.getAs[Long]("dropped_rows") == 0L)
   }
 
+  test("run(): resume skips the committed parse stage; resume=false redoes it") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeline").toString
+    docsOf("a" -> quality,
+        "b" -> "der hund und die katze sind nicht in dem haus und das ist gut so")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    Pipeline.run(spark, s"$dir/in", s"$dir/out", runId = "r1")
+    val marker = java.nio.file.Paths.get(s"$dir/out/extracted/_SUCCESS")
+    val t1 = java.nio.file.Files.getLastModifiedTime(marker)
+    Thread.sleep(20)
+    // crash-after-extract scenario: the second attempt must reuse the
+    // committed product (marker untouched) and still rebuild the rest
+    Pipeline.run(spark, s"$dir/in", s"$dir/out", runId = "r2")
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == t1)
+    assert(spark.read.parquet(s"$dir/out/curated").count() == 2)
+    assert(spark.read.parquet(s"$dir/out/lineage")
+      .filter("run_id = 'r2'").count() > 0)
+    // opting out forces a fresh parse
+    Thread.sleep(20)
+    Pipeline.run(spark, s"$dir/in", s"$dir/out", runId = "r3", resume = false)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) != t1)
+  }
+
   test("run(): a firing valve is recorded in lineage, not silent") {
     // 12 case-variants of one sentence: shingling lowercases, so all 12
     // share an IDENTICAL shingle set (→ identical minhash signature →
