@@ -320,6 +320,12 @@ object SparkEntry {
           array_join(slice(split(trim(col("text")), "\\s+"), 1, 40), " ").as("text"))
       Dedup.decontaminateAgainst(d, heldout, minOverlap = 3L)
     }),
+    "t12_novelty" -> ((s, dir) =>
+      // LM-quality family, integer-exact: per-doc out-of-vocabulary rate
+      // against corpus-wide char-trigram statistics (rare trigrams ⇒
+      // perplexity-outlier candidate) — codegen'd trigram explode, one
+      // count agg + one broadcast-join agg
+      TextOps.trigramNovelty(s, dir)),
 
     // ---- text analysis ----------------------------------------------------
     "t1_text_stats" -> ((s, dir) => {
@@ -879,6 +885,31 @@ object SparkEntry {
         |  COALESCE(hits.n_shared, 0) >= 3 AS contaminated
         |FROM documents d
         |LEFT JOIN hits ON hits.doc_id = d.doc_id""".stripMargin,
+    // trigram-novelty replay: identical trigram windows (3-char
+    // substrings at 1-based offsets), corpus-wide count threshold 5,
+    // integer per-mille via floor division
+    "t12_novelty" ->
+      """WITH tg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) - 1),
+        |      i -> substring(text, i, 3))) AS tri
+        |  FROM documents WHERE length(text) >= 3),
+        |common AS (
+        |  SELECT tri FROM (SELECT tri, COUNT(*) AS c FROM tg GROUP BY tri) t
+        |  WHERE c >= 5),
+        |hits AS (
+        |  SELECT tg.doc_id, COUNT(*) AS n_common
+        |  FROM tg JOIN common USING (tri) GROUP BY tg.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(GREATEST(length(d.text) - 2, 0) AS BIGINT) AS n_tri,
+        |  CAST(GREATEST(length(d.text) - 2, 0) - COALESCE(h.n_common, 0)
+        |    AS BIGINT) AS n_rare,
+        |  CAST(CASE WHEN length(d.text) < 3 THEN 0
+        |    ELSE (GREATEST(length(d.text) - 2, 0) - COALESCE(h.n_common, 0))
+        |         * 1000 // GREATEST(length(d.text) - 2, 0) END AS BIGINT)
+        |    AS rare_permille
+        |FROM documents d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin,
     "d2_minhash_bands" ->
       s"WITH ${minhashCtesFrom("documents")} SELECT doc_id, band, band_hash FROM bands",
     "d3_minhash_pairs" ->

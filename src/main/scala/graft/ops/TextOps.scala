@@ -255,4 +255,47 @@ object TextOps {
     documents(spark, sfDir)
       .select(col("doc_id"), fpUdf(col("text")).as("fingerprint"))
   }
+
+  /** Corpus-statistics novelty scoring — the integer-exact core of
+    * LM-perplexity quality filtering: a document whose character
+    * trigrams are rare IN THIS CORPUS is an outlier (boilerplate junk,
+    * binary spray, wrong-language stragglers), exactly what perplexity
+    * filters catch, but expressed as an out-of-vocabulary rate so every
+    * number is an exact integer (no float-summation order to replicate).
+    *
+    * Output per doc: n_tri (total char trigrams), n_rare (trigrams whose
+    * corpus-wide count < minCount), rare_permille (⌊n_rare·1000/n_tri⌋).
+    *
+    * Scale shape: trigram explode is codegen'd `transform(sequence)` (no
+    * UDF); the COMMON-trigram table (count ≥ minCount) is bounded by
+    * Σcounts/minCount and broadcasts; per-doc totals are closed-form
+    * (length−2), so the whole op is one trigram aggregation + one
+    * broadcast-join aggregation over the corpus — two shuffles at any
+    * size. At 100 TB raise minCount (the common table SHRINKS as the
+    * threshold rises) or swap the broadcast hint for a shuffle join. */
+  def withTrigramNovelty(d: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minCount: Long = 5L): DataFrame = {
+    val tris = d.select(col(idCol), explode(expr(
+      s"""CASE WHEN length($textCol) >= 3
+         |  THEN transform(sequence(1, length($textCol) - 2),
+         |                 i -> substring($textCol, i, 3))
+         |  ELSE array() END""".stripMargin)).as("tri"))
+    val common = tris.groupBy(col("tri"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("tri"))
+    val hits = tris.join(broadcast(common), "tri")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_common"))
+    d.select(col(idCol),
+        greatest(length(col(textCol)) - 2, lit(0)).cast("long").as("n_tri"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_tri"),
+        (col("n_tri") - coalesce(col("n_common"), lit(0L))).as("n_rare"),
+        when(col("n_tri") === 0, lit(0L)).otherwise(
+          expr("(n_tri - coalesce(n_common, 0L)) * 1000 div n_tri"))
+          .as("rare_permille"))
+  }
+
+  def trigramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    withTrigramNovelty(documents(spark, sfDir))
 }

@@ -449,6 +449,28 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("trigram novelty: rare-trigram rate flags the corpus outlier") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // ten near-identical docs (their trigrams are common: count ≥ 5)
+    // plus one alien doc whose trigrams appear exactly once
+    val docs = ((1 to 10).map(i => (s"c$i", "the common sentence here")) :+
+      ("alien", "zzqxj wvkpf")).toDF("doc_id", "text")
+    val out = TextOps.withTrigramNovelty(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val (nTri, nRare, permille) = out("alien")
+    assert(nTri == 9 && nRare == 9 && permille == 1000) // all trigrams unique
+    (1 to 10).foreach { i =>
+      val (t, r, p) = out(s"c$i")
+      assert(t == 22 && r == 0 && p == 0, s"c$i: $t $r $p")
+    }
+    // degenerate: shorter than one trigram → zeros, no division by zero
+    val tiny = TextOps.withTrigramNovelty(Seq(("t", "ab")).toDF("doc_id", "text"))
+      .collect().head
+    assert(tiny.getLong(1) == 0 && tiny.getLong(3) == 0)
+  }
+
   test("real PNG decode: pngEncode → javax.imageio roundtrips every pixel") {
     import graft.ops.MediaOps
     for (seed <- Seq(0L, 7L, 4294967295L, 123456789L)) {
