@@ -449,6 +449,34 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SQL kernel surface: registered functions ≡ the operator kernels") {
+    import graft.ops.{Dedup, MediaOps, OpsFunctions, TextOps}
+    OpsFunctions.register(spark)
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    spark.createDataFrame(Seq(Tuple1(t))).toDF("text")
+      .createOrReplaceTempView("sqlkernel_v")
+    val row = spark.sql(
+      """SELECT minhash_sig(text) AS mh, simhash64(text) AS sh,
+        |  ngram_jaccard(text, text) AS j, doc_fingerprint(text) AS fp,
+        |  text_shingles(text) AS ss FROM sqlkernel_v""".stripMargin)
+      .collect().head
+    assert(row.getSeq[Long](0) == Dedup.minhash(t).toSeq)
+    assert(row.getLong(1) == Dedup.simhash(t))
+    assert(row.getDouble(2) == 1.0)
+    assert(row.getSeq[Long](3) == TextOps.fingerprint(t).toSeq)
+    assert(row.getSeq[String](4).toSet == Dedup.shingles(t))
+    // media_meta over real bytes: a generated PNG and a generated WAV
+    val png = MediaOps.pngEncode(20, 30, 7L)
+    val wav = MediaOps.wavHeader(2, 16000, 64) ++ new Array[Byte](20)
+    val mrow = spark.createDataFrame(Seq(Tuple1(png), Tuple1(wav))).toDF("b")
+      .selectExpr("media_meta(b) AS m").selectExpr(
+        "m.mime", "m.width", "m.height", "m.channels", "m.sample_rate")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(mrow == Set(("image/png", 20, 30, 0, 0),
+      ("audio/wav", 0, 0, 2, 16000)))
+  }
+
   test("trigram novelty: rare-trigram rate flags the corpus outlier") {
     import spark.implicits._
     import graft.ops.TextOps
