@@ -551,8 +551,37 @@ object SparkEntry {
     * and exact-cosine top-k ranking. The context-free `oracleSql` map
     * stays the static driver contract; e4 is the one entry that needs
     * the data-dependent (but deterministic) fit to be SQL-expressible. */
-  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
-    oracleSql + ("e4_knn_ivf" -> e4IvfSql(spark, sfDir))
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val ivfSql = e4IvfSql(spark, sfDir)
+    oracleSql +
+      ("e4_knn_ivf" -> ivfSql) +
+      // e5 as a TRUE replay at any SF (supersedes the static SF-pinned
+      // VALUES fallback): recall is recomputed by intersecting the e2/e4
+      // oracle replays with the e1 exact replay — the same three SQL
+      // bodies that verify individually, composed.
+      ("e5_ann_recall" -> e5RecallSql(ivfSql))
+  }
+
+  private def e5RecallSql(ivfSql: String): String = {
+    val total = 50 // numQueries(10) × k(5), Similarity.annRecall defaults
+    s"""WITH exact AS (
+      |${oracleSql("e1_knn_exact")}),
+      |lshq AS (
+      |${oracleSql("e2_knn_lsh")}),
+      |ivfq AS (
+      |$ivfSql),
+      |h AS (
+      |  SELECT 'lsh' AS method, COUNT(*) AS hits
+      |  FROM lshq l JOIN exact x
+      |    ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
+      |  UNION ALL
+      |  SELECT 'ivf' AS method, COUNT(*) AS hits
+      |  FROM ivfq i JOIN exact x
+      |    ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id)
+      |SELECT method, CAST(hits AS BIGINT) AS hits,
+      |  CAST($total AS BIGINT) AS total,
+      |  ROUND(hits / ${total}.0, 6) AS recall FROM h""".stripMargin
+  }
 
   private def e4IvfSql(spark: SparkSession, sfDir: String): String = {
     val raw = Similarity.embeddings(spark, sfDir)
@@ -714,7 +743,9 @@ object SparkEntry {
     // and multi-probe IVF (4/16 cells) 0.92 on this structureless corpus;
     // clustered real embeddings score higher at the same parameters.
     // NOTE: pins are SF-specific by nature — recall is a property of the
-    // data.
+    // data. This static entry is the context-free fallback only:
+    // oracleSqlFor supersedes it with a TRUE replay (e2/e4 oracle bodies
+    // intersected with e1's) that verifies at ANY SF.
     "e5_ann_recall" ->
       """SELECT * FROM (VALUES
         |  ('lsh', CAST(46 AS BIGINT), CAST(50 AS BIGINT), CAST(0.92 AS DOUBLE)),
