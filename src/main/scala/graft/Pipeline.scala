@@ -30,6 +30,8 @@ import graft.ops.{Dedup, TextOps}
   */
 object Pipeline {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** spark-submit entry:
     * {{{
     * spark-submit --class graft.Pipeline <jar> <inPath> <outPath> \
@@ -126,13 +128,20 @@ object Pipeline {
     // (Pipeline.run's extracted product plays that role for the parse
     // leg) and curate from the re-read.
     val exact = Dedup.swapCache("p1-exact", exactStage(quality))
-    // 4: fuzzy dedup — drop the greater member of every verified pair
-    val losers = Dedup.verifiedPairsOf(exact, "doc_id", "text",
-        cfg.minJaccard, cfg.maxBucket)
-      .select(col("id_b").as("doc_id")).distinct()
-    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
-    // 5: language annotation
-    TextOps.withLangId(deduped)
+    // 4+5: fuzzy dedup (drop the greater member of every verified pair)
+    // + language annotation — shared with `run`
+    finishCurate(exact,
+      Dedup.verifiedPairsOf(exact, "doc_id", "text",
+        cfg.minJaccard, cfg.maxBucket))
+  }
+
+  /** Stages 4-5 given the exact-deduped frame and its verified pairs:
+    * losers (the greater member of each pair) drop via anti-join, then
+    * language annotation and the curated column contract. ONE home for
+    * this tail — `curateExtracted` and `run` must not drift. */
+  private def finishCurate(exact: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("id_b").as("doc_id")).distinct()
+    TextOps.withLangId(exact.join(losers, Seq("doc_id"), "left_anti"))
       .select(col("doc_id"), col("text"), col("predicted_lang"), col("n_words"))
   }
 
@@ -178,10 +187,33 @@ object Pipeline {
     // skips the parse, the expensive stage, entirely. File-granular
     // resume WITHIN the parse leg is graft.Resume (manifest per input
     // file); compose them by pointing `inPath` at Resume's output.
+    // The checkpoint is only valid for the SAME input and parse config:
+    // a fingerprint written next to the product guards against silently
+    // reusing a stale extract for a different inPath / dialect / layout.
+    val fingerprint =
+      s"in=$inPath format=$format partitions=${cfg.partitions} " +
+        s"extract=${cfg.extract}"
     val successMarker =
       new org.apache.hadoop.fs.Path(s"$outPath/extracted/_SUCCESS")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$outPath/extracted/_graft_meta")
     val fs = successMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!(resume && fs.exists(successMarker))) {
+    def committedFingerprint: Option[String] =
+      if (!fs.exists(metaPath)) None
+      else {
+        val in = fs.open(metaPath)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      }
+    val reusable = resume && fs.exists(successMarker) &&
+      committedFingerprint.contains(fingerprint)
+    if (resume && fs.exists(successMarker) && !reusable)
+      log.warn(s"resume: committed extract at $outPath/extracted was built " +
+        s"with ${committedFingerprint.getOrElse("<no fingerprint>")}; " +
+        s"this run wants '$fingerprint' — re-parsing")
+    if (reusable)
+      log.info(s"resume: reusing committed extract at $outPath/extracted")
+    else {
       val docs = SgmlExtract.readDocs(spark, inPath, format).toDF()
       val repart =
         if (cfg.partitions > 0)
@@ -190,6 +222,9 @@ object Pipeline {
       SgmlExtract.extractDf(repart, cfg.extract)
         .withColumn("__pid", spark_partition_id())
         .write.mode("overwrite").parquet(s"$outPath/extracted")
+      val out = fs.create(metaPath, true)
+      try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     val extracted = spark.read.parquet(s"$outPath/extracted")
     val extractRows = extracted
@@ -209,12 +244,9 @@ object Pipeline {
     val exact = Dedup.swapCache("run-exact",
       exactStage(qualityStage(extracted.drop("__pid"))))
     val banded = Dedup.bandsOf(exact, "doc_id", "text")
-    val losers = Dedup.verifiedPairsFromBands(banded, exact, "doc_id",
-        "text", cfg.minJaccard, cfg.maxBucket)
-      .select(col("id_b").as("doc_id")).distinct()
-    TextOps.withLangId(exact.join(losers, Seq("doc_id"), "left_anti"))
-      .select(col("doc_id"), col("text"), col("predicted_lang"),
-        col("n_words"))
+    finishCurate(exact,
+      Dedup.verifiedPairsFromBands(banded, exact, "doc_id", "text",
+        cfg.minJaccard, cfg.maxBucket))
       .write.mode("overwrite").parquet(s"$outPath/curated")
     // Lineage LAST: per-partition extract metrics, plus the valve audit
     // row whenever a cap is active (zeros when nothing was dropped — the

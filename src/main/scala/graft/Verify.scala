@@ -34,9 +34,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // sf-aware completion: adds the e4 oracle whose centroid literals come
-    // from the deterministic driver-side fit on THIS sfDir
-    val json = SparkEntry.oracleSqlFor(spark, sfDir)
+    // sf-aware completion: adds the e4/e5 oracles whose centroid
+    // literals come from the deterministic driver-side fit on THIS
+    // sfDir. GUARDED: the fit runs Spark actions (embeddings scan), and
+    // an e-family-only failure must not abort the dump — without
+    // oracle_sql.json the driver zeroes correctness for EVERY query, so
+    // fall back to the static map (e4/e5 then fail alone, honestly).
+    val oracles =
+      try SparkEntry.oracleSqlFor(spark, sfDir)
+      catch {
+        case e: Exception =>
+          System.err.println(s"oracleSqlFor failed (${e.getMessage}); " +
+            "falling back to the static oracle map")
+          SparkEntry.oracleSql
+      }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -29,11 +29,18 @@ object Dedup {
     * one session merely lose caching, not correctness. */
   private[graft] def swapCache(tag: String, df: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    Option(cacheReg.put((df.sparkSession, tag), cached))
-      .filter(_ ne cached)
-      .foreach(_.unpersist(blocking = false))
-    cached
+    // housekeeping: drop registry entries whose session is gone (a
+    // multi-session JVM otherwise pins stopped sessions forever)
+    cacheReg.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // Unpersist the predecessor BEFORE persisting: if the new plan
+    // canonicalizes sameResult to the old one, persist-first would no-op
+    // on the shared CacheManager entry and the eviction would then
+    // delete it — leaving the new frame uncached (zero copies, the
+    // opposite of the intent). Evict-then-persist re-registers cleanly
+    // in that case, at worst recomputing the shared subtree once.
+    val prev = cacheReg.put((df.sparkSession, tag), df)
+    if (prev != null && (prev ne df)) prev.unpersist(blocking = false)
+    df.persist(StorageLevel.MEMORY_AND_DISK)
   }
   private val cacheReg =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]

@@ -109,7 +109,16 @@ class PipelineSpec extends AnyFunSuite {
     // opting out forces a fresh parse
     Thread.sleep(20)
     Pipeline.run(spark, s"$dir/in", s"$dir/out", runId = "r3", resume = false)
-    assert(java.nio.file.Files.getLastModifiedTime(marker) != t1)
+    val t3 = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(t3 != t1)
+    // a DIFFERENT parse config must not reuse the stale product: the
+    // fingerprint mismatch forces a re-parse even with resume=true
+    Thread.sleep(20)
+    Pipeline.run(spark, s"$dir/in", s"$dir/out",
+      Pipeline.Config(extract =
+        SgmlExtract.Config(dialect = "xml", space = "preserve")),
+      runId = "r4")
+    assert(java.nio.file.Files.getLastModifiedTime(marker) != t3)
   }
 
   test("run(): a firing valve is recorded in lineage, not silent") {

@@ -449,6 +449,18 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("swapCache: a same-plan successor stays cached after the swap") {
+    // two invocations whose plans canonicalize sameResult: evicting the
+    // predecessor must not strip the successor's cache entry (the
+    // persist-then-evict order did exactly that — zero copies cached)
+    val a = graft.ops.Dedup.swapCache("t-swap", spark.range(10).toDF)
+    a.count()
+    val b = graft.ops.Dedup.swapCache("t-swap", spark.range(10).toDF)
+    assert(b.storageLevel.useMemory || b.storageLevel.useDisk,
+      s"successor lost its cache entry: ${b.storageLevel}")
+    b.unpersist(blocking = true)
+  }
+
   test("SQL kernel surface: registered functions ≡ the operator kernels") {
     import graft.ops.{Dedup, MediaOps, OpsFunctions, TextOps}
     OpsFunctions.register(spark)
