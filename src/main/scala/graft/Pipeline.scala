@@ -92,14 +92,20 @@ object Pipeline {
   /** Stage 2: span-concat + error count + quality gate — shared verbatim
     * by the streaming leg (StreamingExtract.curatedStream), so the batch
     * and streaming quality semantics cannot drift apart. */
-  private[graft] def qualityStage(extracted: DataFrame): DataFrame = {
+  private[graft] def qualityStage(extracted: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    // `keep`: extra input columns carried through the projection (the
+    // streaming leg threads its event-time column this way — a narrow
+    // passthrough, not a join)
     val texts = extracted
-      .select(col("doc_id"),
-        expr("aggregate(spans, '', (acc, sp) -> acc || sp.text)").as("text"),
-        size(col("errors")).as("n_errors"))
+      .select(col("doc_id") +:
+        expr("aggregate(spans, '', (acc, sp) -> acc || sp.text)").as("text") +:
+        size(col("errors")).as("n_errors") +:
+        keep.map(col): _*)
     TextOps.withQuality(texts)
       .filter(col("is_quality") && col("n_errors") === 0)
-      .select(col("doc_id"), col("text"), col("n_words"))
+      .select(col("doc_id") +: col("text") +: col("n_words") +:
+        keep.map(col): _*)
   }
 
   /** Stage 3: exact dedup — keep the lowest doc_id per content hash.

@@ -139,6 +139,25 @@ object StreamingExtract {
       .select(col("doc_id"), col("text"), col("n_words"))
   }
 
+  /** `curatedStream` with BOUNDED dedup state — the 24/7 production
+    * variant: `dropDuplicatesWithinWatermark` keeps a content hash in
+    * the state store only until the watermark passes it, so state size
+    * is O(arrival rate × lateness horizon) instead of O(stream history).
+    * The contract weakens accordingly — a duplicate arriving more than
+    * `lateness` after its twin is NOT suppressed (cross-horizon dedup is
+    * corpus-global work; the batch stage downstream owns it, same lambda
+    * split as fuzzy dedup). Input rows need an event-time column. */
+  def curatedStreamBounded(extracted: org.apache.spark.sql.DataFrame,
+      eventTimeCol: String = "event_time",
+      lateness: String = "10 minutes"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Pipeline.qualityStage(extracted, keep = Seq(eventTimeCol))
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("doc_id"), col("text"), col("n_words"), col(eventTimeCol))
+  }
+
   /** Event-time windowed ingest metrics — the streaming twin of the batch
     * per-partition lineage rows (north rule "per-partition lineage +
     * metrics"): docs/spans/errors per event-time window over the extracted

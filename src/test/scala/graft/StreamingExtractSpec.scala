@@ -143,6 +143,38 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set("c1"))
   }
 
+  test("bounded streaming dedup: state expires with the watermark") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val good = "the quick brown fox jumps over the lazy dog and runs far away"
+    val other = "der hund und die katze sind nicht in dem haus und das ist gut so"
+    // extracted-shaped rows (doc_id, spans, errors, event_time)
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)](spark)
+    def extractedDf = mem.toDF().toDF("doc_id", "text", "event_time")
+      .selectExpr("doc_id",
+        "array(named_struct('kind', 'text', 'text', text, 'media_ref', " +
+          "CAST(NULL AS STRING), 'offset', 0)) AS spans",
+        "array() AS errors", "event_time")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt5").toString
+    val q = StreamingExtract.curatedStreamBounded(extractedDf,
+        lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_bounded").option("checkpointLocation", ckpt).start()
+    // batch 1: X emits, Y (same content, within horizon) suppressed
+    mem.addData(Seq(("X", good, ts("10:00:00")), ("Y", good, ts("10:01:00"))))
+    q.processAllAvailable()
+    // batch 2 advances the watermark past X's expiry (10:30−10m > 10:00)
+    mem.addData(Seq(("Z", other, ts("10:30:00"))))
+    q.processAllAvailable()
+    // batch 3: same content as X again — state EXPIRED, so W re-emits
+    // (the documented cross-horizon weakening; batch dedup owns that)
+    mem.addData(Seq(("W", good, ts("10:31:00"))))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_bounded")
+      .select("doc_id").as[String].collect().toSet
+    assert(got == Set("X", "Z", "W"), got)
+  }
+
   test("windowed ingest metrics: watermark finalizes windows and drops late rows") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
