@@ -183,6 +183,69 @@ object MediaOps {
   /** Closed-form total length of a `pngEncode` file. */
   def pngByteLen(w: Int, h: Int): Int = 68 + h * (1 + 3 * w)
 
+  /** A COMPLETE real GIF87a — 256-entry grayscale palette, pixel index
+    * at (x,y) = `pngPixel(seed, y·w+x)`, LZW stream in "uncompressed"
+    * form: 9-bit literal codes with a CLEAR every 254 symbols so the
+    * code width never grows. Any conforming decoder (the JDK's ImageIO
+    * included) reads the exact closed-form gray values back — the
+    * second lossless format through the same `decodeImage` path. */
+  def gifEncode(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(w * h * 2 + 800)
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    out.write("GIF87a".getBytes("ASCII"))
+    le16(w); le16(h)
+    out.write(0xF7) // global color table, 8-bit, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2C); le16(0); le16(0); le16(w); le16(h); out.write(0)
+    out.write(8) // LZW minimum code size → 9-bit codes
+    // pack 9-bit codes LSB-first, flushing 255-byte sub-blocks
+    val block = new Array[Byte](255)
+    var blockLen = 0
+    var bitBuf = 0L
+    var bitCnt = 0
+    val body = new java.io.ByteArrayOutputStream()
+    def flushBlock(): Unit =
+      if (blockLen > 0) {
+        body.write(blockLen); body.write(block, 0, blockLen); blockLen = 0
+      }
+    def putCode(c: Int): Unit = {
+      bitBuf |= c.toLong << bitCnt
+      bitCnt += 9
+      while (bitCnt >= 8) {
+        block(blockLen) = (bitBuf & 0xFF).toByte
+        blockLen += 1
+        if (blockLen == 255) flushBlock()
+        bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    val Clear = 256
+    val Eoi = 257
+    putCode(Clear)
+    var n = 0
+    var idx = 0L
+    val total = w.toLong * h
+    while (idx < total) {
+      putCode(pngPixel(seed, idx))
+      n += 1
+      // the decoder's dictionary grows one entry per literal after a
+      // clear; reset before it reaches 512 so codes stay 9 bits wide
+      if (n == 254 && idx != total - 1) { putCode(Clear); n = 0 }
+      idx += 1
+    }
+    putCode(Eoi)
+    if (bitCnt > 0) { // flush the final partial byte
+      block(blockLen) = (bitBuf & 0xFF).toByte
+      blockLen += 1
+    }
+    flushBlock()
+    body.write(0) // block terminator
+    out.write(body.toByteArray)
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
   /** WAV metadata from real header bytes: walk RIFF chunks to `fmt `,
     * read channels + sample rate. None when not a RIFF/WAVE stream. */
   def sniffWav(b: Array[Byte]): Option[(Int, Int)] = {

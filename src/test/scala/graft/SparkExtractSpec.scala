@@ -533,6 +533,24 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MediaOps.decodeImage("not an image".getBytes("ASCII")) === None)
   }
 
+  test("real GIF decode: gifEncode → javax.imageio roundtrips every pixel") {
+    import graft.ops.MediaOps
+    // sizes straddling the 254-literal CLEAR boundary and sub-block edges
+    for ((w, h, seed) <- Seq((16, 15, 0L), (17, 15, 99L), (40, 33, 4294967295L))) {
+      val bytes = MediaOps.gifEncode(w, h, seed)
+      assert(MediaOps.sniffImage(bytes) === Some(("image/gif", w, h)))
+      val Some((dw, dh, px)) = MediaOps.decodeImage(bytes)
+      assert(dw == w && dh == h)
+      var p = 0
+      while (p < w * h) { // grayscale palette: all three channels = index
+        val v = MediaOps.pngPixel(seed, p.toLong)
+        assert((px(3 * p) & 0xFF) == v && (px(3 * p + 1) & 0xFF) == v &&
+          (px(3 * p + 2) & 0xFF) == v, s"($w,$h,$seed) pixel $p")
+        p += 1
+      }
+    }
+  }
+
   test("real pixel resize: nearest-neighbor over the decoded raster") {
     import graft.ops.MediaOps
     val out = MediaOps.resizePixels(MediaOps.syntheticAssets(spark, sf),
