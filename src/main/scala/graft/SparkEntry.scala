@@ -307,6 +307,10 @@ object SparkEntry {
     "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "d6_ngram_jaccard" -> ((s, dir) => Dedup.consecutiveJaccard(s, dir)),
     "d7_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
+    "d8_repeated_ngrams" -> ((s, dir) =>
+      // substring-level dedup signal: per-doc fraction of distinct word
+      // 10-grams that also occur in another document
+      Dedup.repeatedNgrams(s, dir)),
     "t10_decontaminate" -> ((s, dir) => Dedup.decontaminate(s, dir)),
     "t11_decontaminate_external" -> ((s, dir) => {
       // external-held-out shape: a synthetic benchmark whose eval passages
@@ -941,6 +945,39 @@ object SparkEntry {
         |    AS rare_permille
         |FROM documents d
         |LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin,
+    // repeated word-10-gram replay: same word split / <10-word collapse /
+    // distinct / hash chain as the shingle CTEs, windows of 10
+    "d8_repeated_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(words) = 0 THEN []::VARCHAR[]
+        |         WHEN len(words) < 10 THEN [array_to_string(words, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(words) - 8),
+        |                i -> array_to_string(words[i:i+9], ' ')))
+        |    END AS sh
+        |  FROM w),
+        |u AS (
+        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(regexp_extract_all(s, '.'), c -> ord(c)::BIGINT)),
+        |      (h, cp) -> (h * 31 + cp) % 4294967296) AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM g)),
+        |shared AS (
+        |  SELECT h FROM (SELECT h, COUNT(*) AS c FROM u GROUP BY h) t
+        |  WHERE c >= 2),
+        |hits AS (
+        |  SELECT u.doc_id, COUNT(*) AS n_shared
+        |  FROM u JOIN shared USING (h) GROUP BY u.doc_id)
+        |SELECT g.doc_id,
+        |  CAST(len(g.sh) AS BIGINT) AS n_ngrams,
+        |  CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(CASE WHEN len(g.sh) = 0 THEN 0
+        |       ELSE COALESCE(h.n_shared, 0) * 1000 // len(g.sh) END AS BIGINT)
+        |    AS shared_permille
+        |FROM g LEFT JOIN hits h ON h.doc_id = g.doc_id""".stripMargin,
     "d2_minhash_bands" ->
       s"WITH ${minhashCtesFrom("documents")} SELECT doc_id, band, band_hash FROM bands",
     "d3_minhash_pairs" ->

@@ -399,6 +399,42 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** Cross-document repeated n-gram statistics — the substring-level
+    * dedup signal (à la "Deduplicating Training Data Makes Language
+    * Models Better"): per document, how many of its distinct word
+    * n-grams also occur in ANOTHER document. High shared_permille marks
+    * boilerplate/template mass that document-level dedup missed; the
+    * shared-hash table itself is the removal work-list.
+    *
+    * Scale shape: ONE signature UDF call per row (size + explode_outer
+    * off the same array), one count aggregation over (doc, distinct
+    * n-gram hash) pairs, one equi-join back + per-doc count — no
+    * self-join, no n-gram strings shuffled (64-bit hashes only). Hash
+    * collisions hit both engines identically (same closed-form chain
+    * the oracle replays). */
+  def withRepeatedNgrams(d: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 10): DataFrame = {
+    val shUdf = udf((t: String) => shingles(t, n).toSeq.map(shingleHash))
+    val f = d.select(col(idCol), shUdf(col(textCol)).as("hs"))
+      .select(col(idCol), size(col("hs")).as("n_ngrams"),
+        explode_outer(col("hs")).as("h")) // empty docs keep a null-h row
+    val shared = f.filter(col("h").isNotNull)
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("h"))
+    val hits = f.join(shared, "h")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    f.groupBy(col(idCol)).agg(max(col("n_ngrams")).cast("long").as("n_ngrams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_ngrams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_ngrams") === 0, lit(0L)).otherwise(
+          expr(s"coalesce(n_shared, 0L) * 1000 div n_ngrams"))
+          .as("shared_permille"))
+  }
+
+  def repeatedNgrams(spark: SparkSession, sfDir: String, n: Int = 10): DataFrame =
+    withRepeatedNgrams(documents(spark, sfDir), n = n)
+
   /** Exact n-gram (word 3-shingle) Jaccard similarity. */
   def ngramJaccard(a: String, b: String): Double = {
     val sa = shingles(a)

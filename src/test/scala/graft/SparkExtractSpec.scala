@@ -449,6 +449,24 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("repeated n-grams: shared windows counted, singletons not") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val run = (1 to 12).map(i => s"w$i").mkString(" ") // 12 words → 3 10-grams
+    val docs = Seq(
+      ("a", run),                     // shares all 3 windows with b
+      ("b", run),
+      ("c", (13 to 30).map(i => s"x$i").mkString(" ")), // 9 unique windows
+      ("d", "too short")              // <10 words → single collapsed gram
+    ).toDF("doc_id", "text")
+    val out = Dedup.withRepeatedNgrams(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("a") == ((3L, 3L, 1000L)) && out("b") == ((3L, 3L, 1000L)))
+    assert(out("c") == ((9L, 0L, 0L)))
+    assert(out("d") == ((1L, 0L, 0L))) // its collapsed gram is unique
+  }
+
   test("swapCache: a same-plan successor stays cached after the swap") {
     // two invocations whose plans canonicalize sameResult: evicting the
     // predecessor must not strip the successor's cache entry (the
