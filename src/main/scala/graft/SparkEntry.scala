@@ -359,6 +359,12 @@ object SparkEntry {
     "e2_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "e4_knn_ivf" -> ((s, dir) => Similarity.knnIvf(s, dir)),
     "e5_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
+    "e6_knn_pq" -> ((s, dir) =>
+      // flat PQ/ADC scan — the compressed-corpus leg of the ANN family
+      // (8 subspaces × 16 centroids, asymmetric-distance ranking); the
+      // oracle replays encode + LUT + fixed-order ADC sum from the
+      // driver-fitted codebook literals
+      Similarity.knnPq(s, dir)),
     "e3_embedding_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(s, dir, minSim = NearDupMinSim)
         .select(col("id_a"), col("id_b"))),
@@ -557,16 +563,18 @@ object SparkEntry {
     * the data-dependent (but deterministic) fit to be SQL-expressible. */
   def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] = {
     val ivfSql = e4IvfSql(spark, sfDir)
+    val pqSql = e6PqSql(spark, sfDir)
     oracleSql +
       ("e4_knn_ivf" -> ivfSql) +
+      ("e6_knn_pq" -> pqSql) +
       // e5 as a TRUE replay at any SF (supersedes the static SF-pinned
-      // VALUES fallback): recall is recomputed by intersecting the e2/e4
-      // oracle replays with the e1 exact replay — the same three SQL
+      // VALUES fallback): recall is recomputed by intersecting the
+      // e2/e4/e6 oracle replays with the e1 exact replay — the same SQL
       // bodies that verify individually, composed.
-      ("e5_ann_recall" -> e5RecallSql(ivfSql))
+      ("e5_ann_recall" -> e5RecallSql(ivfSql, pqSql))
   }
 
-  private def e5RecallSql(ivfSql: String): String = {
+  private def e5RecallSql(ivfSql: String, pqSql: String): String = {
     val total = 50 // numQueries(10) × k(5), Similarity.annRecall defaults
     s"""WITH exact AS (
       |${oracleSql("e1_knn_exact")}),
@@ -574,6 +582,8 @@ object SparkEntry {
       |${oracleSql("e2_knn_lsh")}),
       |ivfq AS (
       |$ivfSql),
+      |pqq AS (
+      |$pqSql),
       |h AS (
       |  SELECT 'lsh' AS method, COUNT(*) AS hits
       |  FROM lshq l JOIN exact x
@@ -581,10 +591,61 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT 'ivf' AS method, COUNT(*) AS hits
       |  FROM ivfq i JOIN exact x
-      |    ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id)
+      |    ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+      |  UNION ALL
+      |  SELECT 'pq' AS method, COUNT(*) AS hits
+      |  FROM pqq p JOIN exact x
+      |    ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id)
       |SELECT method, CAST(hits AS BIGINT) AS hits,
       |  CAST($total AS BIGINT) AS total,
       |  ROUND(hits / ${total}.0, 6) AS recall FROM h""".stripMargin
+  }
+
+  /** e6's sf-aware oracle: the driver-fitted PQ codebooks are literals —
+    * DuckDB replays subspace argmin encoding, the query-side lookup
+    * table, and the ADC ranking with a FIXED-order 8-term sum (≡ the
+    * UDF's ascending-m accumulation; a SUM() aggregate would add in
+    * nondeterministic order and drift in the last ulp). */
+  private def e6PqSql(spark: SparkSession, sfDir: String): String = {
+    val raw = Similarity.embeddings(spark, sfDir)
+    val books = Similarity.fitPqCodebooks(raw, raw.count())
+    val sub = Similarity.Dim / Similarity.PqM
+    val cbVals = (for (mi <- books.indices; c <- books(mi).indices) yield
+      books(mi)(c).mkString(s"($mi, $c, [", ", ", "])"))
+      .mkString(",\n      |    ").stripMargin
+    val adcChain = (0 until Similarity.PqM)
+      .map(mi => s"MAX(CASE WHEN l.m = $mi THEN l.d END)")
+      .reduce((a, b) => s"($a + $b)")
+    s"""WITH cb(m, c, v) AS (VALUES
+      |    $cbVals),
+      |e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |sd AS ( -- subdistance of every (vector, subspace, centroid)
+      |  SELECT e.vec_id, cb.m, cb.c,
+      |    list_reduce(list_transform(range(1, ${sub + 1}), i ->
+      |      (e.emb[cb.m * $sub + i] - cb.v[i]) * (e.emb[cb.m * $sub + i] - cb.v[i])),
+      |      (a, b) -> a + b) AS d
+      |  FROM e CROSS JOIN cb),
+      |asg AS ( -- PQ code per (vector, subspace): argmin, ties to lowest c
+      |  SELECT vec_id, m, c AS code FROM (
+      |    SELECT vec_id, m, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+      |    FROM sd) t WHERE rn = 1),
+      |lut AS ( -- query-side ADC lookup rows (sd restricted to queries)
+      |  SELECT vec_id AS query_id, m, c, d FROM sd WHERE vec_id < 10),
+      |adc AS (
+      |  SELECT l.query_id, a.vec_id AS neighbor_id, $adcChain AS adc
+      |  FROM asg a JOIN lut l ON l.m = a.m AND l.c = a.code
+      |  WHERE a.vec_id <> l.query_id
+      |  GROUP BY l.query_id, a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adc, neighbor_id) AS rank
+      |  FROM adc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+      |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
   private def e4IvfSql(spark: SparkSession, sfDir: String): String = {
@@ -750,10 +811,15 @@ object SparkEntry {
     // data. This static entry is the context-free fallback only:
     // oracleSqlFor supersedes it with a TRUE replay (e2/e4 oracle bodies
     // intersected with e1's) that verifies at ANY SF.
+    // (pq 0.24 is the honest flat-PQ number on THIS corpus: 64-dim
+    // near-orthogonal random vectors have no cluster structure for the
+    // codebooks to exploit, and PQ ranks by L2 ADC while the e1 ground
+    // truth is cosine — real clustered embeddings score far higher)
     "e5_ann_recall" ->
       """SELECT * FROM (VALUES
         |  ('lsh', CAST(46 AS BIGINT), CAST(50 AS BIGINT), CAST(0.92 AS DOUBLE)),
-        |  ('ivf', CAST(46 AS BIGINT), CAST(50 AS BIGINT), CAST(0.92 AS DOUBLE)))
+        |  ('ivf', CAST(46 AS BIGINT), CAST(50 AS BIGINT), CAST(0.92 AS DOUBLE)),
+        |  ('pq',  CAST(12 AS BIGINT), CAST(50 AS BIGINT), CAST(0.24 AS DOUBLE)))
         | t(method, hits, total, recall)""".stripMargin,
     // full pipeline replay: quality filter → exact dedup (VARCHAR-ordered
     // keeper, mirroring the contract's string doc_id) → banded minhash →

@@ -296,15 +296,106 @@ object Similarity {
     * the centroids are plain literals — the e4 oracle interpolates them
     * into DuckDB SQL as a VALUES table and replays assignment + nprobe
     * probing + exact-cosine ranking from scratch. */
-  def fitCenters(raw: DataFrame, n: Long, nlist: Int): Array[Array[Double]] = {
-    val sample: Array[Array[Float]] =
-      (if (n <= FitSampleCap) raw
-       else raw.sample(withReplacement = false, FitSampleCap.toDouble / n, seed = 42L))
-        .select(col("vec_id"), col("embedding"))
-        .orderBy(col("vec_id")).limit(FitSampleCap.toInt)
-        .collect()
-        .map(_.getSeq[Float](1).toArray)
-    lloyd(sample, nlist, FitIters)
+  /** The shared deterministic fit sample: seeded, vec_id-ordered,
+    * bounded at FitSampleCap rows (one bounded collect). */
+  private def fitSample(raw: DataFrame, n: Long): Array[Array[Float]] =
+    (if (n <= FitSampleCap) raw
+     else raw.sample(withReplacement = false, FitSampleCap.toDouble / n, seed = 42L))
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(FitSampleCap.toInt)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  def fitCenters(raw: DataFrame, n: Long, nlist: Int): Array[Array[Double]] =
+    lloyd(fitSample(raw, n), nlist, FitIters)
+
+  // ------------------------------------------- product quantization (e6)
+
+  val PqM = 8   // subspaces (Dim/PqM dims each)
+  val PqKs = 16 // centroids per subspace → 4 bits/subspace, 8× compression
+
+  /** PQ codebooks: an independent deterministic Lloyd's per subspace
+    * over the SAME bounded fit sample (driver-side, zero Spark jobs
+    * beyond the one sample collect — the codebooks are plain literals
+    * afterwards, which is what lets the oracle replay the whole search
+    * in SQL). */
+  def fitPqCodebooks(raw: DataFrame, n: Long, m: Int = PqM,
+      ks: Int = PqKs): Array[Array[Array[Double]]] = {
+    val sample = fitSample(raw, n)
+    val sub = Dim / m
+    Array.tabulate(m)(mi => lloyd(
+      sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)),
+      ks, FitIters))
+  }
+
+  /** Flat PQ/ADC top-k — the COMPRESSED exhaustive scan, the 100 TB
+    * memory play: the corpus is encoded once to m 4-bit-ish codes per
+    * vector (8× smaller than the float vectors) and every query ranks by
+    * asymmetric distance (query-to-codebook lookup tables, built
+    * driver-side per query and shipped in the closure — numQueries is
+    * bounded). Encode and ADC are narrow maps; the per-row ADC explode is
+    * a generator (NOT a join); the only exchange is the per-query top-k
+    * window. L2/ADC metric by construction (PQ quantizes distances, not
+    * angles); e1/e2/e4 stay the cosine family and e5 measures recall
+    * across all of them against e1. */
+  def knnPq(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5, m: Int = PqM, ks: Int = PqKs,
+      knownCount: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = embeddings(spark, sfDir)
+    val n = knownCount.getOrElse(raw.count())
+    val books = fitPqCodebooks(raw, n, m, ks)
+    val sub = Dim / m
+    val encode = udf((v: Seq[Float]) => {
+      val codes = new Array[Int](m)
+      var mi = 0
+      while (mi < m) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < ks) {
+          val ctr = books(mi)(c)
+          var s = 0.0
+          var i = 0
+          while (i < sub) { val d = v(mi * sub + i) - ctr(i); s += d * d; i += 1 }
+          if (s < bestD) { bestD = s; best = c } // strict < : lowest index wins ties
+          c += 1
+        }
+        codes(mi) = best
+        mi += 1
+      }
+      codes
+    })
+    val queries = raw.filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val lut: Array[Array[Array[Double]]] = queries.map { case (_, qv) =>
+      Array.tabulate(m)(mi => Array.tabulate(ks) { c =>
+        val ctr = books(mi)(c)
+        var s = 0.0
+        var i = 0
+        while (i < sub) { val d = qv(mi * sub + i) - ctr(i); s += d * d; i += 1 }
+        s
+      })
+    }
+    val qids = queries.map(_._1)
+    val adcAll = udf((codes: Seq[Int]) =>
+      qids.indices.map { qi =>
+        var s = 0.0
+        var mi = 0
+        while (mi < m) { s += lut(qi)(mi)(codes(mi)); mi += 1 }
+        (qids(qi), s)
+      })
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    raw.select(col("vec_id"), encode(col("embedding")).as("codes"))
+      .select(col("vec_id"), explode(adcAll(col("codes"))).as("qa"))
+      .select(col("qa._1").as("query_id"), col("vec_id"), col("qa._2").as("adc"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
   }
 
   def knnIvf(spark: SparkSession, sfDir: String,
@@ -378,6 +469,7 @@ object Similarity {
           round(col("hits") / total, 6).as("recall"))
     recallOf(knnLsh(spark, sfDir, numQueries, k), "lsh")
       .unionAll(recallOf(knnIvf(spark, sfDir, numQueries, k), "ivf"))
+      .unionAll(recallOf(knnPq(spark, sfDir, numQueries, k), "pq"))
   }
 
   /** Embedding-cosine near-duplicate pairs: single-table bucketing +

@@ -246,10 +246,25 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
   }
 
-  test("ann recall gate: lsh + ivf measured against exact, deterministic") {
+  test("knn pq: ADC ranking is complete, deterministic, self-excluding") {
+    import graft.ops.Similarity
+    val a = Similarity.knnPq(spark, sf).collect()
+    assert(a.length == 50) // 10 queries × full top-5 (flat scan never misses)
+    val byQ = a.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to 5L))
+      assert(!rows.exists(_.getLong(2) == q)) // never its own neighbor
+    }
+    val b = Similarity.knnPq(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("ann recall gate: lsh + ivf + pq measured against exact, deterministic") {
     import graft.ops.Similarity
     val rows = Similarity.annRecall(spark, sf).collect()
-    assert(rows.map(_.getString(0)).toSet == Set("lsh", "ivf"))
+    assert(rows.map(_.getString(0)).toSet == Set("lsh", "ivf", "pq"))
     rows.foreach { r =>
       val hits = r.getLong(1); val total = r.getLong(2); val recall = r.getDouble(3)
       assert(total == 50L && hits >= 0 && hits <= total)
