@@ -352,6 +352,10 @@ object SparkEntry {
     // ---- deterministic sampling (restart-stable corpus downsampling) ------
     "s1_stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
     "s2_uniform_sample" -> ((s, dir) => Sampling.uniformSample(s, dir)),
+    "s3_split_assign" -> ((s, dir) =>
+      // deterministic train/val/test assignment: hash bucket → cumulative
+      // permille ranges, a narrow CASE at the scan (retry/restart-stable)
+      Sampling.splitAssign(s, dir)),
 
     // ---- embedding similarity --------------------------------------------
     "e1_knn_exact" -> ((s, dir) =>
@@ -1277,6 +1281,16 @@ object SparkEntry {
         |  ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})
         |    % ${ops.Sampling.HashP} % 1000 AS h
         |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin,
+    "s3_split_assign" ->
+      s"""SELECT doc_id,
+        |  ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})
+        |    % ${ops.Sampling.HashP} % 1000 AS bucket,
+        |  CASE WHEN ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})
+        |      % ${ops.Sampling.HashP} % 1000 < 900 THEN 'train'
+        |    WHEN ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})
+        |      % ${ops.Sampling.HashP} % 1000 < 950 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "q8_distinct_suppliers" ->
       """SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers,
         | COUNT(*) AS n_lineitems

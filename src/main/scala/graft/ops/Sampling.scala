@@ -55,4 +55,32 @@ object Sampling {
       .select(col("doc_id"), bucket1000(col("doc_id")).as("h"))
       .orderBy(col("h").asc, col("doc_id").asc)
       .limit(k)
+
+  /** Deterministic train/val/test split assignment — the canonical
+    * pre-training partition: each row's bucket (closed-form hash, same
+    * restart-stability argument as the samplers) falls into cumulative
+    * permille ranges, so membership is a narrow codegen'd CASE at the
+    * scan — no shuffle, no RNG, stable under retries/repartition, and a
+    * row can never land in two splits. `splits` are (name, permille)
+    * pairs; they must sum to ≤1000 (rows past the last threshold get the
+    * final name — pass an explicit remainder split to make that
+    * visible). */
+  def withSplit(d: DataFrame, idCol: String = "doc_id",
+      splits: Seq[(String, Int)] =
+        Seq(("train", 900), ("val", 50), ("test", 50))): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1000,
+      s"split permilles must sum to <= 1000: $splits")
+    val b = bucket1000(col(idCol))
+    val thresholds = splits.scanLeft(0)(_ + _._2).tail // cumulative uppers
+    val assigned = splits.init.zip(thresholds.init).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), upper)) =>
+        when(b < upper, name).otherwise(acc)
+      }
+    d.withColumn("split", assigned)
+  }
+
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
+    withSplit(documents(spark, sfDir))
+      .select(col("doc_id"), bucket1000(col("doc_id")).as("bucket"),
+        col("split"))
 }

@@ -48,6 +48,25 @@ class SamplingPiiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re == base)
   }
 
+  test("split assignment: total partition, stable, thresholds honored") {
+    val rows = Sampling.splitAssign(spark, sf).collect()
+    assert(rows.length == 500) // every row gets exactly one split
+    rows.foreach { r =>
+      val (b, s) = (r.getLong(1), r.getString(2))
+      val expected = if (b < 900) "train" else if (b < 950) "val" else "test"
+      assert(s == expected, s"bucket $b → $s")
+    }
+    assert(rows.map(_.getString(2)).toSet == Set("train", "val", "test"))
+    // re-run identical (restart-stable by construction)
+    val again = Sampling.splitAssign(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // invalid weights rejected loudly
+    intercept[IllegalArgumentException] {
+      Sampling.withSplit(spark.range(1).toDF("doc_id"),
+        splits = Seq(("a", 800), ("b", 300)))
+    }
+  }
+
   test("pii scrub removes every email/phone/ipv4 occurrence") {
     val out = TextOps.piiScrub(spark, sf)
     val counted = out.select(
