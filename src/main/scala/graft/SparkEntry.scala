@@ -570,9 +570,16 @@ object SparkEntry {
     * stays the static driver contract; e4 is the one entry that needs
     * the data-dependent (but deterministic) fit to be SQL-expressible. */
   def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] = {
-    val ivfSql = e4IvfSql(spark, sfDir)
-    val pqSql = e6PqSql(spark, sfDir)
-    val ivfpqSql = e7IvfPqSql(spark, sfDir)
+    // ONE embeddings count + ONE bounded sample collect feed every
+    // quantizer literal the e4/e6/e7/e5 oracle builders interpolate
+    // (each fit is deterministic, so sharing changes nothing but cost)
+    val raw = Similarity.embeddings(spark, sfDir)
+    val sample = Similarity.fitSample(raw, raw.count())
+    val centers = Similarity.lloyd(sample, 16, Similarity.FitIters)
+    val books = Similarity.pqCodebooksFrom(sample)
+    val ivfSql = e4IvfSql(centers)
+    val pqSql = e6PqSql(books)
+    val ivfpqSql = e7IvfPqSql(centers, books)
     oracleSql +
       ("e4_knn_ivf" -> ivfSql) +
       ("e6_knn_pq" -> pqSql) +
@@ -591,11 +598,8 @@ object SparkEntry {
     * Written self-contained (names disjoint from e4/e6) — oracle SQL is
     * replay DATA; sharing fragments across three builders would couple
     * what must stay independently auditable. */
-  private def e7IvfPqSql(spark: SparkSession, sfDir: String): String = {
-    val raw = Similarity.embeddings(spark, sfDir)
-    val n = raw.count()
-    val centers = Similarity.fitCenters(raw, n, nlist = 16)
-    val books = Similarity.fitPqCodebooks(raw, n)
+  private def e7IvfPqSql(centers: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): String = {
     val sub = Similarity.Dim / Similarity.PqM
     val ccVals = centers.zipWithIndex.map { case (c, i) =>
       c.mkString(s"($i, [", ", ", "])")
@@ -698,9 +702,7 @@ object SparkEntry {
     * table, and the ADC ranking with a FIXED-order 8-term sum (≡ the
     * UDF's ascending-m accumulation; a SUM() aggregate would add in
     * nondeterministic order and drift in the last ulp). */
-  private def e6PqSql(spark: SparkSession, sfDir: String): String = {
-    val raw = Similarity.embeddings(spark, sfDir)
-    val books = Similarity.fitPqCodebooks(raw, raw.count())
+  private def e6PqSql(books: Array[Array[Array[Double]]]): String = {
     val sub = Similarity.Dim / Similarity.PqM
     val cbVals = (for (mi <- books.indices; c <- books(mi).indices) yield
       books(mi)(c).mkString(s"($mi, $c, [", ", ", "])"))
@@ -740,9 +742,7 @@ object SparkEntry {
       |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
-  private def e4IvfSql(spark: SparkSession, sfDir: String): String = {
-    val raw = Similarity.embeddings(spark, sfDir)
-    val centers = Similarity.fitCenters(raw, raw.count(), nlist = 16)
+  private def e4IvfSql(centers: Array[Array[Double]]): String = {
     // Double.toString round-trips exactly; DuckDB parses the same decimal
     // (incl. scientific notation) back to the identical IEEE double
     val cvals = centers.zipWithIndex.map { case (c, i) =>

@@ -415,20 +415,28 @@ object Dedup {
   def withRepeatedNgrams(d: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 10): DataFrame = {
     val shUdf = udf((t: String) => shingles(t, n).toSeq.map(shingleHash))
-    val f = d.select(col(idCol), shUdf(col(textCol)).as("hs"))
-      .select(col(idCol), size(col("hs")).as("n_ngrams"),
-        explode_outer(col("hs")).as("h")) // empty docs keep a null-h row
+    // cached: BOTH consumers (the shared-hash aggregation and the probe
+    // join) read this frame — uncached, Spark re-runs the tokenize+hash
+    // UDF under each subtree; the cache is (id, long, long) rows only,
+    // no text
+    val f = swapCache("d8-ngrams",
+      d.select(col(idCol), shUdf(col(textCol)).as("hs"))
+        .select(col(idCol), size(col("hs")).as("n_ngrams"),
+          explode_outer(col("hs")).as("h"))) // empty docs keep a null-h row
     val shared = f.filter(col("h").isNotNull)
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2).select(col("h"))
-    val hits = f.join(shared, "h")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
-    f.groupBy(col(idCol)).agg(max(col("n_ngrams")).cast("long").as("n_ngrams"))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_ngrams"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), lit(true).as("is_shared"))
+    // one left join + ONE per-doc aggregation computes totals and shared
+    // counts together (count(is_shared) skips nulls ⇒ unshared/null-h
+    // rows don't count)
+    f.join(shared, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("n_ngrams")).cast("long").as("n_ngrams"),
+        count(col("is_shared")).as("n_shared"))
+      .select(col(idCol), col("n_ngrams"), col("n_shared"),
         when(col("n_ngrams") === 0, lit(0L)).otherwise(
-          expr(s"coalesce(n_shared, 0L) * 1000 div n_ngrams"))
+          expr("n_shared * 1000 div n_ngrams"))
           .as("shared_permille"))
   }
 

@@ -190,6 +190,8 @@ object MediaOps {
     * included) reads the exact closed-form gray values back — the
     * second lossless format through the same `decodeImage` path. */
   def gifEncode(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF,
+      s"GIF dimensions are unsigned 16-bit: ${w}x$h") // le16 would truncate
     val out = new java.io.ByteArrayOutputStream(w * h * 2 + 800)
     def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
     out.write("GIF87a".getBytes("ASCII"))

@@ -68,8 +68,9 @@ object Sampling {
   def withSplit(d: DataFrame, idCol: String = "doc_id",
       splits: Seq[(String, Int)] =
         Seq(("train", 900), ("val", 50), ("test", 50))): DataFrame = {
-    require(splits.nonEmpty && splits.map(_._2).sum <= 1000,
-      s"split permilles must sum to <= 1000: $splits")
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      splits.map(_._2).sum <= 1000,
+      s"split permilles must be >= 0 and sum to <= 1000: $splits")
     val b = bucket1000(col(idCol))
     val thresholds = splits.scanLeft(0)(_ + _._2).tail // cumulative uppers
     val assigned = splits.init.zip(thresholds.init).reverse

@@ -297,8 +297,10 @@ object Similarity {
     * into DuckDB SQL as a VALUES table and replays assignment + nprobe
     * probing + exact-cosine ranking from scratch. */
   /** The shared deterministic fit sample: seeded, vec_id-ordered,
-    * bounded at FitSampleCap rows (one bounded collect). */
-  private def fitSample(raw: DataFrame, n: Long): Array[Array[Float]] =
+    * bounded at FitSampleCap rows (one bounded collect). Callers that
+    * need several quantizers (IVF + PQ, or the oracle builders) should
+    * collect this ONCE and fit from it. */
+  private[graft] def fitSample(raw: DataFrame, n: Long): Array[Array[Float]] =
     (if (n <= FitSampleCap) raw
      else raw.sample(withReplacement = false, FitSampleCap.toDouble / n, seed = 42L))
       .select(col("vec_id"), col("embedding"))
@@ -320,13 +322,62 @@ object Similarity {
     * afterwards, which is what lets the oracle replay the whole search
     * in SQL). */
   def fitPqCodebooks(raw: DataFrame, n: Long, m: Int = PqM,
-      ks: Int = PqKs): Array[Array[Array[Double]]] = {
-    val sample = fitSample(raw, n)
+      ks: Int = PqKs): Array[Array[Array[Double]]] =
+    pqCodebooksFrom(fitSample(raw, n), m, ks)
+
+  private[graft] def pqCodebooksFrom(sample: Array[Array[Float]],
+      m: Int = PqM, ks: Int = PqKs): Array[Array[Array[Double]]] = {
     val sub = Dim / m
     Array.tabulate(m)(mi => lloyd(
       sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)),
       ks, FitIters))
   }
+
+  /** PQ encode UDF — ONE definition for e6 and e7 (their oracles replay
+    * this independently, so a drifted twin would only surface as an
+    * oracle-gate failure). Strict < in the argmin: lowest index wins
+    * ties, matching the SQL ROW_NUMBER (d, c) ordering. */
+  private def pqEncodeUdf(books: Array[Array[Array[Double]]], m: Int,
+      ks: Int, sub: Int) = udf((v: Seq[Float]) => {
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ks) {
+        val ctr = books(mi)(c)
+        var s = 0.0
+        var i = 0
+        while (i < sub) { val d = v(mi * sub + i) - ctr(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    codes
+  })
+
+  /** Query-side ADC lookup tables: lut(qi)(m)(c) = ‖q_sub − codebook‖². */
+  private def pqLutOf(queries: Array[(Long, Array[Float])],
+      books: Array[Array[Array[Double]]], m: Int, ks: Int,
+      sub: Int): Array[Array[Array[Double]]] =
+    queries.map { case (_, qv) =>
+      Array.tabulate(m)(mi => Array.tabulate(ks) { c =>
+        val ctr = books(mi)(c)
+        var s = 0.0
+        var i = 0
+        while (i < sub) { val d = qv(mi * sub + i) - ctr(i); s += d * d; i += 1 }
+        s
+      })
+    }
+
+  private def collectQueries(raw: DataFrame,
+      numQueries: Int): Array[(Long, Array[Float])] =
+    raw.filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
 
   /** Flat PQ/ADC top-k — the COMPRESSED exhaustive scan, the 100 TB
     * memory play: the corpus is encoded once to m 4-bit-ish codes per
@@ -346,38 +397,9 @@ object Similarity {
     val n = knownCount.getOrElse(raw.count())
     val books = fitPqCodebooks(raw, n, m, ks)
     val sub = Dim / m
-    val encode = udf((v: Seq[Float]) => {
-      val codes = new Array[Int](m)
-      var mi = 0
-      while (mi < m) {
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < ks) {
-          val ctr = books(mi)(c)
-          var s = 0.0
-          var i = 0
-          while (i < sub) { val d = v(mi * sub + i) - ctr(i); s += d * d; i += 1 }
-          if (s < bestD) { bestD = s; best = c } // strict < : lowest index wins ties
-          c += 1
-        }
-        codes(mi) = best
-        mi += 1
-      }
-      codes
-    })
-    val queries = raw.filter(col("vec_id") < numQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    val lut: Array[Array[Array[Double]]] = queries.map { case (_, qv) =>
-      Array.tabulate(m)(mi => Array.tabulate(ks) { c =>
-        val ctr = books(mi)(c)
-        var s = 0.0
-        var i = 0
-        while (i < sub) { val d = qv(mi * sub + i) - ctr(i); s += d * d; i += 1 }
-        s
-      })
-    }
+    val encode = pqEncodeUdf(books, m, ks, sub)
+    val queries = collectQueries(raw, numQueries)
+    val lut = pqLutOf(queries, books, m, ks, sub)
     val qids = queries.map(_._1)
     val adcAll = udf((codes: Seq[Int]) =>
       qids.indices.map { qi =>
@@ -464,44 +486,17 @@ object Similarity {
     import spark.implicits._
     val raw = embeddings(spark, sfDir)
     val n = knownCount.getOrElse(raw.count())
-    val centers = fitCenters(raw, n, nlist)
-    val books = fitPqCodebooks(raw, n, m, ks)
+    // ONE bounded sample collect feeds BOTH quantizer fits
+    val sample = fitSample(raw, n)
+    val centers = lloyd(sample, nlist, FitIters)
+    val books = pqCodebooksFrom(sample, m, ks)
     val sub = Dim / m
     val cellOf = udf((v: Seq[Float]) => nearestCenter(v.toArray, centers))
-    val encode = udf((v: Seq[Float]) => {
-      val codes = new Array[Int](m)
-      var mi = 0
-      while (mi < m) {
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < ks) {
-          val ctr = books(mi)(c)
-          var s = 0.0
-          var i = 0
-          while (i < sub) { val d = v(mi * sub + i) - ctr(i); s += d * d; i += 1 }
-          if (s < bestD) { bestD = s; best = c }
-          c += 1
-        }
-        codes(mi) = best
-        mi += 1
-      }
-      codes
-    })
+    val encode = pqEncodeUdf(books, m, ks, sub)
     val coded = raw.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
       encode(col("embedding")).as("codes"))
-    val queries = raw.filter(col("vec_id") < numQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    val lut: Array[Array[Array[Double]]] = queries.map { case (_, qv) =>
-      Array.tabulate(m)(mi => Array.tabulate(ks) { c =>
-        val ctr = books(mi)(c)
-        var s = 0.0
-        var i = 0
-        while (i < sub) { val d = qv(mi * sub + i) - ctr(i); s += d * d; i += 1 }
-        s
-      })
-    }
+    val queries = collectQueries(raw, numQueries)
+    val lut = pqLutOf(queries, books, m, ks, sub)
     // nprobe nearest coarse cells per query — same metric and (dist,
     // cell) tie-break as e4's probesOf, evaluated on the driver
     val probeRows: Seq[(Long, Int, Int)] = queries.zipWithIndex.flatMap {

@@ -74,7 +74,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t10_decontaminate"     -> 3, // contam distinct + per-doc countDistinct + left join (contam side broadcasts)
     "t11_decontaminate_external" -> 3, // same chain as t10 over an external held-out frame
     "t12_novelty"           -> 2, // corpus trigram count agg + per-doc hits agg (common side broadcasts)
-    "d8_repeated_ngrams"    -> 3, // shared-hash count agg + per-doc hits agg + per-doc totals agg (hash-only shuffles)
+    "d8_repeated_ngrams"    -> 2, // shared-hash count agg + ONE fused per-doc agg (totals + shared counts together; hash-only shuffles)
     "q2_join_agg"           -> 1, // dims broadcast; one agg exchange
     "q3_window_first_event" -> 1,
     "q4_topk_revenue"       -> 1,
