@@ -370,8 +370,9 @@ object SparkEntry {
       // driver-fitted codebook literals
       Similarity.knnPq(s, dir)),
     "e7_knn_ivfpq" -> ((s, dir) =>
-      // the production composite: IVF cell restriction + PQ/ADC ranking
-      // over the compressed codes only — oracle replays both quantizers
+      // the production composite: IVF cell restriction + residual-PQ
+      // ADC ranking over the compressed codes only — the oracle replays
+      // both quantizers, incl. per-probed-cell query residual tables
       Similarity.knnIvfPq(s, dir)),
     "e3_embedding_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(s, dir, minSim = NearDupMinSim)
@@ -577,9 +578,11 @@ object SparkEntry {
     val sample = Similarity.fitSample(raw, raw.count())
     val centers = Similarity.lloyd(sample, 16, Similarity.FitIters)
     val books = Similarity.pqCodebooksFrom(sample)
+    val rbooks = Similarity.pqCodebooksFrom(
+      Similarity.residualCodebookSample(sample, centers))
     val ivfSql = e4IvfSql(centers)
     val pqSql = e6PqSql(books)
-    val ivfpqSql = e7IvfPqSql(centers, books)
+    val ivfpqSql = e7IvfPqSql(centers, rbooks)
     oracleSql +
       ("e4_knn_ivf" -> ivfSql) +
       ("e6_knn_pq" -> pqSql) +
@@ -592,9 +595,11 @@ object SparkEntry {
   }
 
   /** e7's sf-aware oracle: BOTH quantizer literal sets (coarse
-    * centroids + PQ codebooks) replayed — cell assignment and nprobe
-    * probing exactly as e4's CTEs, PQ encoding and the fixed-order ADC
-    * chain exactly as e6's, candidates restricted to probed cells.
+    * centroids + RESIDUAL PQ codebooks) replayed — cell assignment and
+    * nprobe probing exactly as e4's CTEs; PQ encoding and the
+    * fixed-order ADC chain operate on residuals (emb − own-cell
+    * centroid for encoding, emb − probed-cell centroid for the query
+    * tables), mirroring the UDF's (v − ctr) − cb double arithmetic.
     * Written self-contained (names disjoint from e4/e6) — oracle SQL is
     * replay DATA; sharing fragments across three builders would couple
     * what must stay independently auditable. */
@@ -632,19 +637,31 @@ object SparkEntry {
       |    SELECT vec_id, cell,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
       |    FROM cdist WHERE vec_id < 10) t WHERE rn <= 4),
-      |sd AS (
+      |rsd AS ( -- RESIDUAL subdistance: (emb − own-cell centroid) vs codebook
       |  SELECT e.vec_id, cb.m, cb.c,
       |    list_reduce(list_transform(range(1, ${sub + 1}), i ->
-      |      (e.emb[cb.m * $sub + i] - cb.v[i]) * (e.emb[cb.m * $sub + i] - cb.v[i])),
+      |      ((e.emb[cb.m * $sub + i] - cc.v[cb.m * $sub + i]) - cb.v[i])
+      |      * ((e.emb[cb.m * $sub + i] - cc.v[cb.m * $sub + i]) - cb.v[i])),
       |      (a, b) -> a + b) AS d
-      |  FROM e CROSS JOIN cb),
-      |pasg AS ( -- PQ code per (vector, subspace)
+      |  FROM e
+      |  JOIN casg a ON a.vec_id = e.vec_id
+      |  JOIN cc ON cc.cell = a.cell
+      |  CROSS JOIN cb),
+      |pasg AS ( -- PQ code per (vector, subspace), on the residual
       |  SELECT vec_id, m, c AS code FROM (
       |    SELECT vec_id, m, c,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
-      |    FROM sd) t WHERE rn = 1),
-      |lut AS (
-      |  SELECT vec_id AS query_id, m, c, d FROM sd WHERE vec_id < 10),
+      |    FROM rsd) t WHERE rn = 1),
+      |qlut AS ( -- query ADC tables per PROBED cell (residual differs per cell)
+      |  SELECT qp.query_id, qp.q_cell, cb.m, cb.c,
+      |    list_reduce(list_transform(range(1, ${sub + 1}), i ->
+      |      ((e.emb[cb.m * $sub + i] - cc.v[cb.m * $sub + i]) - cb.v[i])
+      |      * ((e.emb[cb.m * $sub + i] - cc.v[cb.m * $sub + i]) - cb.v[i])),
+      |      (a, b) -> a + b) AS d
+      |  FROM qp
+      |  JOIN e ON e.vec_id = qp.query_id
+      |  JOIN cc ON cc.cell = qp.q_cell
+      |  CROSS JOIN cb),
       |cand AS ( -- cells are disjoint → a candidate appears once per query
       |  SELECT qp.query_id, a.vec_id AS neighbor_id, a.cell
       |  FROM qp JOIN casg a ON a.cell = qp.q_cell AND a.vec_id <> qp.query_id),
@@ -652,7 +669,8 @@ object SparkEntry {
       |  SELECT cd.query_id, cd.neighbor_id, cd.cell, $adcChain AS adc
       |  FROM cand cd
       |  JOIN pasg p ON p.vec_id = cd.neighbor_id
-      |  JOIN lut l ON l.query_id = cd.query_id AND l.m = p.m AND l.c = p.code
+      |  JOIN qlut l ON l.query_id = cd.query_id AND l.q_cell = cd.cell
+      |    AND l.m = p.m AND l.c = p.code
       |  GROUP BY cd.query_id, cd.neighbor_id, cd.cell),
       |ranked AS (
       |  SELECT query_id, neighbor_id, cell,

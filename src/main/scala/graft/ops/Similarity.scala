@@ -467,10 +467,12 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("cell"))
   }
 
-  /** IVF-restricted PQ search — the production ANN composite at 100 TB
-    * (the FAISS IVF+PQ shape, minus residual encoding: codes are the
-    * SAME raw-vector codebooks as e6, keeping the oracle replay 1:1
-    * with e6's; residual encoding is the documented refinement).
+  /** IVF-restricted PQ search — the production ANN composite at 100 TB,
+    * the full FAISS IVF+PQ shape INCLUDING residual encoding: codes
+    * quantize x − centroid(x) (residuals are much smaller than raw
+    * vectors, so the same codebook budget spends its precision where
+    * the variance is), and the query-side ADC tables are built per
+    * (query, probed cell) since the query residual differs per cell.
     * Candidate generation is e4's cell equi-join (query probes its
     * nprobe nearest coarse cells — computed driver-side here, since the
     * bounded query set is collected for the ADC tables anyway), but
@@ -486,17 +488,45 @@ object Similarity {
     import spark.implicits._
     val raw = embeddings(spark, sfDir)
     val n = knownCount.getOrElse(raw.count())
-    // ONE bounded sample collect feeds BOTH quantizer fits
+    // ONE bounded sample collect feeds BOTH quantizer fits; the PQ
+    // codebooks are fitted on RESIDUALS (x − centroid(x)) — true IVF+PQ
     val sample = fitSample(raw, n)
     val centers = lloyd(sample, nlist, FitIters)
-    val books = pqCodebooksFrom(sample, m, ks)
+    val residuals = residualCodebookSample(sample, centers)
+    val books = pqCodebooksFrom(residuals, m, ks)
     val sub = Dim / m
-    val cellOf = udf((v: Seq[Float]) => nearestCenter(v.toArray, centers))
-    val encode = pqEncodeUdf(books, m, ks, sub)
-    val coded = raw.select(col("vec_id"), cellOf(col("embedding")).as("cell"),
-      encode(col("embedding")).as("codes"))
+    // one UDF emits (cell, codes): the coarse assignment is needed for
+    // the residual anyway, so it is never computed twice
+    val encode = udf((v: Seq[Float]) => {
+      val va = v.toArray
+      val cell = nearestCenter(va, centers)
+      val ctr0 = centers(cell)
+      val codes = new Array[Int](m)
+      var mi = 0
+      while (mi < m) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < ks) {
+          val cb = books(mi)(c)
+          var s = 0.0
+          var i = 0
+          while (i < sub) {
+            val j = mi * sub + i
+            val d = (va(j) - ctr0(j)) - cb(i)
+            s += d * d; i += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        codes(mi) = best
+        mi += 1
+      }
+      (cell, codes)
+    })
+    val coded = raw.select(col("vec_id"), encode(col("embedding")).as("cc"))
+      .select(col("vec_id"), col("cc._1").as("cell"), col("cc._2").as("codes"))
     val queries = collectQueries(raw, numQueries)
-    val lut = pqLutOf(queries, books, m, ks, sub)
     // nprobe nearest coarse cells per query — same metric and (dist,
     // cell) tie-break as e4's probesOf, evaluated on the driver
     val probeRows: Seq[(Long, Int, Int)] = queries.zipWithIndex.flatMap {
@@ -511,11 +541,30 @@ object Similarity {
           (s, c)
         }.sortBy(identity).take(nprobe).map { case (_, c) => (qid, c, qi) }
     }.toSeq
+    // ADC tables are per (query, PROBED CELL): the query residual
+    // differs per cell. 40-entry map (numQueries × nprobe), closure-tiny.
+    val lutByQC: Map[(Int, Int), Array[Array[Double]]] =
+      probeRows.map { case (_, cell, qi) =>
+        val qv = queries(qi)._2
+        val ctr0 = centers(cell)
+        (qi, cell) -> Array.tabulate(m)(mi => Array.tabulate(ks) { c =>
+          val cb = books(mi)(c)
+          var s = 0.0
+          var i = 0
+          while (i < sub) {
+            val j = mi * sub + i
+            val d = (qv(j) - ctr0(j)) - cb(i)
+            s += d * d; i += 1
+          }
+          s
+        })
+      }.toMap
     val probes = probeRows.toDF("query_id", "q_cell", "qi")
-    val adcOf = udf((qi: Int, codes: Seq[Int]) => {
+    val adcOf = udf((qi: Int, cell: Int, codes: Seq[Int]) => {
+      val lut = lutByQC((qi, cell))
       var s = 0.0
       var mi = 0
-      while (mi < m) { s += lut(qi)(mi)(codes(mi)); mi += 1 }
+      while (mi < m) { s += lut(mi)(codes(mi)); mi += 1 }
       s
     })
     val w = Window.partitionBy(col("query_id"))
@@ -523,12 +572,23 @@ object Similarity {
     coded
       .join(broadcast(probes),
         col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
-      .withColumn("adc", adcOf(col("qi"), col("codes")))
+      .withColumn("adc", adcOf(col("qi"), col("cell"), col("codes")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("cell"))
   }
+
+  /** Residual fit sample for IVF-PQ: x − centroid(x) per sample vector.
+    * Codebooks are arbitrary deterministic literals (the oracle replays
+    * them as VALUES, never refits), so narrowing residuals to Float for
+    * lloyd's input costs nothing. */
+  private[graft] def residualCodebookSample(sample: Array[Array[Float]],
+      centers: Array[Array[Double]]): Array[Array[Float]] =
+    sample.map { v =>
+      val ctr = centers(nearestCenter(v, centers))
+      Array.tabulate(v.length)(i => (v(i) - ctr(i)).toFloat)
+    }
 
   /** Recall gate for the approximate paths (the judge's "measured, not
     * just runs" bar): recall@k of sign-LSH (e2) and IVF (e4) against the

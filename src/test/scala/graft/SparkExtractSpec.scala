@@ -498,6 +498,55 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("d") == ((1L, 0L, 0L))) // its collapsed gram is unique
   }
 
+  test("repeated n-grams ≡ brute-force reference on random corpora") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(4242)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps")
+    for (trial <- 1 to 3) {
+      val docs = (0 until 30).map { i =>
+        val len = rnd.nextInt(25) // 0..24 words — crosses the <10 collapse
+        (s"t$trial-d$i", Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // brute-force reference straight from the shingle contract
+      val sets = docs.map { case (id, t) =>
+        id -> Dedup.shingles(t, 10).map(Dedup.shingleHash)
+      }.toMap
+      val global = sets.values.flatten.groupBy(identity).view
+        .mapValues(_.size).toMap
+      val expected = sets.map { case (id, hs) =>
+        val shared = hs.count(h => global(h) >= 2)
+        id -> ((hs.size.toLong, shared.toLong,
+          if (hs.isEmpty) 0L else shared.toLong * 1000 / hs.size))
+      }
+      val got = Dedup.withRepeatedNgrams(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("split assignment partitions completely for arbitrary valid weights") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val ids = (0L until 300L).toDF("doc_id")
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val cuts = Seq.fill(2)(rnd.nextInt(1001)).sorted
+      val weights = Seq(("a", cuts(0)), ("b", cuts(1) - cuts(0)),
+        ("c", 1000 - cuts(1)))
+      val out = Sampling.withSplit(ids, splits = weights).collect()
+      assert(out.length == 300) // total function: every row, exactly once
+      out.foreach { r =>
+        val bucket = ((r.getLong(0) % Sampling.IdM) * Sampling.HashK %
+          Sampling.HashP) % 1000
+        val expect =
+          if (bucket < cuts(0)) "a" else if (bucket < cuts(1)) "b" else "c"
+        assert(r.getString(1) == expect, s"weights=$weights id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("swapCache: a same-plan successor stays cached after the swap") {
     // two invocations whose plans canonicalize sameResult: evicting the
     // predecessor must not strip the successor's cache entry (the
