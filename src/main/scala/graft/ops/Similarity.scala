@@ -391,11 +391,14 @@ object Similarity {
     * across all of them against e1. */
   def knnPq(spark: SparkSession, sfDir: String,
       numQueries: Int = 10, k: Int = 5, m: Int = PqM, ks: Int = PqKs,
-      knownCount: Option[Long] = None): DataFrame = {
+      knownCount: Option[Long] = None,
+      fittedBooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = embeddings(spark, sfDir)
-    val n = knownCount.getOrElse(raw.count())
-    val books = fitPqCodebooks(raw, n, m, ks)
+    val books = fittedBooks.getOrElse {
+      val n = knownCount.getOrElse(raw.count())
+      fitPqCodebooks(raw, n, m, ks)
+    }
     val sub = Dim / m
     val encode = pqEncodeUdf(books, m, ks, sub)
     val queries = collectQueries(raw, numQueries)
@@ -422,11 +425,17 @@ object Similarity {
 
   def knnIvf(spark: SparkSession, sfDir: String,
       numQueries: Int = 10, k: Int = 5, nlist: Int = 16,
-      nprobe: Int = 4, knownCount: Option[Long] = None): DataFrame = {
+      nprobe: Int = 4, knownCount: Option[Long] = None,
+      fittedCenters: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = embeddings(spark, sfDir)
-    val n = knownCount.getOrElse(raw.count()) // parquet metadata count — no data scan
-    val centers = fitCenters(raw, n, nlist)
+    // fittedCenters: a caller fitting several quantizers (annRecall)
+    // shares ONE sample collect instead of refitting per leg — the fit
+    // is deterministic, so this changes cost only
+    val centers = fittedCenters.getOrElse {
+      val n = knownCount.getOrElse(raw.count()) // parquet metadata count
+      fitCenters(raw, n, nlist)
+    }
     val cellOf = udf((v: Seq[Float]) => nearestCenter(v.toArray, centers))
     val cells = raw
       .select(col("vec_id"), col("embedding"))
@@ -483,17 +492,20 @@ object Similarity {
   def knnIvfPq(spark: SparkSession, sfDir: String,
       numQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
       m: Int = PqM, ks: Int = PqKs,
-      knownCount: Option[Long] = None): DataFrame = {
+      knownCount: Option[Long] = None,
+      fitted: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] =
+        None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val raw = embeddings(spark, sfDir)
-    val n = knownCount.getOrElse(raw.count())
     // ONE bounded sample collect feeds BOTH quantizer fits; the PQ
     // codebooks are fitted on RESIDUALS (x − centroid(x)) — true IVF+PQ
-    val sample = fitSample(raw, n)
-    val centers = lloyd(sample, nlist, FitIters)
-    val residuals = residualCodebookSample(sample, centers)
-    val books = pqCodebooksFrom(residuals, m, ks)
+    val (centers, books) = fitted.getOrElse {
+      val n = knownCount.getOrElse(raw.count())
+      val sample = fitSample(raw, n)
+      val cs = lloyd(sample, nlist, FitIters)
+      (cs, pqCodebooksFrom(residualCodebookSample(sample, cs), m, ks))
+    }
     val sub = Dim / m
     // one UDF emits (cell, codes): the coarse assignment is needed for
     // the residual anyway, so it is never computed twice
@@ -612,10 +624,19 @@ object Similarity {
         .agg(count(lit(1)).as("hits"))
         .select(lit(method).as("method"), col("hits"), lit(total).as("total"),
           round(col("hits") / total, 6).as("recall"))
+    // ONE sample collect + count feed every fitted leg's quantizers
+    val raw = embeddings(spark, sfDir)
+    val sample = fitSample(raw, raw.count())
+    val centers = lloyd(sample, 16, FitIters)
+    val books = pqCodebooksFrom(sample)
+    val rbooks = pqCodebooksFrom(residualCodebookSample(sample, centers))
     recallOf(knnLsh(spark, sfDir, numQueries, k), "lsh")
-      .unionAll(recallOf(knnIvf(spark, sfDir, numQueries, k), "ivf"))
-      .unionAll(recallOf(knnPq(spark, sfDir, numQueries, k), "pq"))
-      .unionAll(recallOf(knnIvfPq(spark, sfDir, numQueries, k), "ivfpq"))
+      .unionAll(recallOf(knnIvf(spark, sfDir, numQueries, k,
+        fittedCenters = Some(centers)), "ivf"))
+      .unionAll(recallOf(knnPq(spark, sfDir, numQueries, k,
+        fittedBooks = Some(books)), "pq"))
+      .unionAll(recallOf(knnIvfPq(spark, sfDir, numQueries, k,
+        fitted = Some((centers, rbooks))), "ivfpq"))
   }
 
   /** Embedding-cosine near-duplicate pairs: single-table bucketing +
