@@ -321,17 +321,20 @@ object Dedup {
       val next = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .join(grand, col("cluster_id") === col("g_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("__old"),
           least(col("cluster_id"),
             coalesce(col("nbr_label"), col("cluster_id")),
             coalesce(col("g_label"), col("cluster_id")))
             .as("cluster_id"))
+        // convergence indicator rides the SAME materialization instead
+        // of a separate next⋈labels join job per round
+        .withColumn("__changed", col("cluster_id") =!= col("__old"))
+        .drop("__old")
         .localCheckpoint(true) // materialize + TRUNCATE lineage (see note)
-      val changed = next.as("n")
-        .join(labels.as("p"), "doc_id")
-        .filter(col("n.cluster_id") =!= col("p.cluster_id"))
-        .count()
-      labels = next
+      // zero/nonzero is all convergence needs: early-exit scan over the
+      // just-checkpointed blocks, no join
+      val changed = next.filter(col("__changed")).limit(1).count()
+      labels = next.drop("__changed")
       converged = changed == 0
       it += 1
     }
