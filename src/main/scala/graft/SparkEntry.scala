@@ -576,7 +576,7 @@ object SparkEntry {
     // (each fit is deterministic, so sharing changes nothing but cost)
     val raw = Similarity.embeddings(spark, sfDir)
     val sample = Similarity.fitSample(raw, raw.count())
-    val centers = Similarity.lloyd(sample, 16, Similarity.FitIters)
+    val centers = Similarity.lloyd(sample, Similarity.IvfNlist, Similarity.FitIters)
     val books = Similarity.pqCodebooksFrom(sample)
     val rbooks = Similarity.pqCodebooksFrom(
       Similarity.residualCodebookSample(sample, centers))
@@ -636,7 +636,7 @@ object SparkEntry {
       |  SELECT vec_id AS query_id, cell AS q_cell FROM (
       |    SELECT vec_id, cell,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-      |    FROM cdist WHERE vec_id < 10) t WHERE rn <= 4),
+      |    FROM cdist WHERE vec_id < 10) t WHERE rn <= ${Similarity.IvfNprobe}),
       |rsd AS ( -- RESIDUAL subdistance: (emb − own-cell centroid) vs codebook
       |  SELECT e.vec_id, cb.m, cb.c,
       |    list_reduce(list_transform(range(1, ${sub + 1}), i ->
@@ -786,7 +786,7 @@ object SparkEntry {
       |  SELECT vec_id AS query_id, cell AS q_cell FROM (
       |    SELECT vec_id, cell,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-      |    FROM dist WHERE vec_id < 10) t WHERE rn <= 4),
+      |    FROM dist WHERE vec_id < 10) t WHERE rn <= ${Similarity.IvfNprobe}),
       |cand AS ( -- cells are disjoint → no distinct needed (ditto Spark)
       |  SELECT qp.query_id, a.vec_id AS neighbor_id, a.cell
       |  FROM qp JOIN asg a ON a.cell = qp.q_cell AND a.vec_id <> qp.query_id),

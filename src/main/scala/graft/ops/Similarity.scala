@@ -315,6 +315,10 @@ object Similarity {
 
   val PqM = 8   // subspaces (Dim/PqM dims each)
   val PqKs = 16 // centroids per subspace → 4 bits/subspace, 8× compression
+  // Coarse-quantizer defaults shared by knnIvf / knnIvfPq / annRecall's
+  // shared fit / the oracle builders — ONE name so they cannot drift.
+  val IvfNlist = 16
+  val IvfNprobe = 4
 
   /** PQ codebooks: an independent deterministic Lloyd's per subspace
     * over the SAME bounded fit sample (driver-side, zero Spark jobs
@@ -333,9 +337,9 @@ object Similarity {
       ks, FitIters))
   }
 
-  /** PQ encode UDF — ONE definition for e6 and e7 (their oracles replay
-    * this independently, so a drifted twin would only surface as an
-    * oracle-gate failure). Strict < in the argmin: lowest index wins
+  /** PQ encode UDF for the FLAT path (e6) — raw-vector codebooks. e7's
+    * residual variant lives in knnIvfPq and shares `residualSubDist`
+    * with its query tables. Strict < in the argmin: lowest index wins
     * ties, matching the SQL ROW_NUMBER (d, c) ordering. */
   private def pqEncodeUdf(books: Array[Array[Array[Double]]], m: Int,
       ks: Int, sub: Int) = udf((v: Seq[Float]) => {
@@ -424,8 +428,8 @@ object Similarity {
   }
 
   def knnIvf(spark: SparkSession, sfDir: String,
-      numQueries: Int = 10, k: Int = 5, nlist: Int = 16,
-      nprobe: Int = 4, knownCount: Option[Long] = None,
+      numQueries: Int = 10, k: Int = 5, nlist: Int = IvfNlist,
+      nprobe: Int = IvfNprobe, knownCount: Option[Long] = None,
       fittedCenters: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = embeddings(spark, sfDir)
@@ -490,8 +494,8 @@ object Similarity {
     * plus one int cell id per row. Exchanges: the broadcast probe join
     * is shuffle-free; the per-query top-k window is the only exchange. */
   def knnIvfPq(spark: SparkSession, sfDir: String,
-      numQueries: Int = 10, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = PqM, ks: Int = PqKs,
+      numQueries: Int = 10, k: Int = 5, nlist: Int = IvfNlist,
+      nprobe: Int = IvfNprobe, m: Int = PqM, ks: Int = PqKs,
       knownCount: Option[Long] = None,
       fitted: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] =
         None): DataFrame = {
@@ -520,14 +524,7 @@ object Similarity {
         var bestD = Double.MaxValue
         var c = 0
         while (c < ks) {
-          val cb = books(mi)(c)
-          var s = 0.0
-          var i = 0
-          while (i < sub) {
-            val j = mi * sub + i
-            val d = (va(j) - ctr0(j)) - cb(i)
-            s += d * d; i += 1
-          }
+          val s = residualSubDist(va, ctr0, books(mi)(c), mi * sub, sub)
           if (s < bestD) { bestD = s; best = c }
           c += 1
         }
@@ -559,17 +556,8 @@ object Similarity {
       probeRows.map { case (_, cell, qi) =>
         val qv = queries(qi)._2
         val ctr0 = centers(cell)
-        (qi, cell) -> Array.tabulate(m)(mi => Array.tabulate(ks) { c =>
-          val cb = books(mi)(c)
-          var s = 0.0
-          var i = 0
-          while (i < sub) {
-            val j = mi * sub + i
-            val d = (qv(j) - ctr0(j)) - cb(i)
-            s += d * d; i += 1
-          }
-          s
-        })
+        (qi, cell) -> Array.tabulate(m)(mi => Array.tabulate(ks)(c =>
+          residualSubDist(qv, ctr0, books(mi)(c), mi * sub, sub)))
       }.toMap
     val probes = probeRows.toDF("query_id", "q_cell", "qi")
     val adcOf = udf((qi: Int, cell: Int, codes: Seq[Int]) => {
@@ -589,6 +577,22 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("cell"))
+  }
+
+  /** The residual-PQ distance kernel — ‖(v − ctr0)_sub − cb‖² over one
+    * subspace starting at `base`. ONE definition shared by e7's encode
+    * UDF and its query ADC tables (the oracle replays the identical
+    * ((v−ctr)−cb) double chain; a drifted copy would desync encode from
+    * ranking and only surface as an oracle failure). */
+  @inline private def residualSubDist(v: Array[Float], ctr0: Array[Double],
+      cb: Array[Double], base: Int, sub: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < sub) {
+      val d = (v(base + i) - ctr0(base + i)) - cb(i)
+      s += d * d; i += 1
+    }
+    s
   }
 
   /** Residual fit sample for IVF-PQ: x − centroid(x) per sample vector.
@@ -627,7 +631,7 @@ object Similarity {
     // ONE sample collect + count feed every fitted leg's quantizers
     val raw = embeddings(spark, sfDir)
     val sample = fitSample(raw, raw.count())
-    val centers = lloyd(sample, 16, FitIters)
+    val centers = lloyd(sample, IvfNlist, FitIters)
     val books = pqCodebooksFrom(sample)
     val rbooks = pqCodebooksFrom(residualCodebookSample(sample, centers))
     recallOf(knnLsh(spark, sfDir, numQueries, k), "lsh")

@@ -508,9 +508,11 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
         val len = rnd.nextInt(25) // 0..24 words — crosses the <10 collapse
         (s"t$trial-d$i", Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
       }
-      // brute-force reference straight from the shingle contract
+      // brute-force reference straight from the shingle contract — a
+      // MULTISET of hashes per doc (distinct STRINGS may hash-collide;
+      // production explodes the Seq, so the reference must too)
       val sets = docs.map { case (id, t) =>
-        id -> Dedup.shingles(t, 10).map(Dedup.shingleHash)
+        id -> Dedup.shingles(t, 10).toSeq.map(Dedup.shingleHash)
       }.toMap
       val global = sets.values.flatten.groupBy(identity).view
         .mapValues(_.size).toMap
