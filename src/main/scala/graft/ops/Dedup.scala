@@ -416,16 +416,21 @@ object Dedup {
     * collisions hit both engines identically (same closed-form chain
     * the oracle replays). */
   def withRepeatedNgrams(d: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 10): DataFrame = {
+      textCol: String = "text", n: Int = 10,
+      cacheSignatures: Boolean = true): DataFrame = {
     val shUdf = udf((t: String) => shingles(t, n).toSeq.map(shingleHash))
-    // cached: BOTH consumers (the shared-hash aggregation and the probe
-    // join) read this frame — uncached, Spark re-runs the tokenize+hash
-    // UDF under each subtree; the cache is (id, long, long) rows only,
-    // no text
-    val f = swapCache("d8-ngrams",
-      d.select(col(idCol), shUdf(col(textCol)).as("hs"))
-        .select(col(idCol), size(col("hs")).as("n_ngrams"),
-          explode_outer(col("hs")).as("h"))) // empty docs keep a null-h row
+    // cacheSignatures (default): BOTH consumers (the shared-hash
+    // aggregation and the probe join) read this frame — uncached, Spark
+    // re-runs the tokenize+hash UDF under each subtree; the cache is
+    // (id, long, long) rows only, no text. The 100 TB valve: the cache is
+    // O(total n-grams) rows of MEMORY_AND_DISK with no other off switch,
+    // so at sizes where even the spilled footprint is unwelcome, pass
+    // false to RECOMPUTE the signature pass per consumer instead (2× UDF
+    // CPU bought consciously, zero cache footprint).
+    val sigs = d.select(col(idCol), shUdf(col(textCol)).as("hs"))
+      .select(col(idCol), size(col("hs")).as("n_ngrams"),
+        explode_outer(col("hs")).as("h")) // empty docs keep a null-h row
+    val f = if (cacheSignatures) swapCache("d8-ngrams", sigs) else sigs
     val shared = f.filter(col("h").isNotNull)
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)

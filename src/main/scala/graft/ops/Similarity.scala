@@ -30,9 +30,15 @@ object Similarity {
   /** Brute-force cosine top-k: queries × corpus; the query side is tiny
     * and broadcast, ranking via a window partitioned by query. */
   def knnBruteForce(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5): DataFrame =
+    knnBruteForceOf(embeddings(spark, sfDir), numQueries, k)
+
+  /** knnBruteForce over ANY (vec_id, embedding) frame — annRecall threads
+    * ONE persisted frame through every leg this way (one corpus scan for
+    * the whole recall gate instead of one per leg). */
+  def knnBruteForceOf(emb: DataFrame,
       numQueries: Int = 10, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -148,9 +154,17 @@ object Similarity {
   def knnLsh(spark: SparkSession, sfDir: String,
       numQueries: Int = 10, k: Int = 5,
       nPlanes: Int = DefaultPlanes, nTables: Int = DefaultTables,
+      probeBits: Int = 2): DataFrame =
+    knnLshOf(embeddings(spark, sfDir), numQueries, k, nPlanes, nTables,
+      probeBits)
+
+  /** knnLsh over ANY (vec_id, embedding) frame (see knnBruteForceOf). */
+  def knnLshOf(emb: DataFrame,
+      numQueries: Int = 10, k: Int = 5,
+      nPlanes: Int = DefaultPlanes, nTables: Int = DefaultTables,
       probeBits: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = lshBuckets(spark, sfDir, nPlanes, nTables)
+    val bucketed = lshBucketsOf(emb, nPlanes, nTables)
     // probeBits tunes the recall/latency trade: 0 = exact-bucket only,
     // 1 = +single-plane flips, 2 = +plane-pair flips (default; 22 keys
     // per table at 6 planes, recall@5 0.92 on the pinned corpus); any
@@ -166,7 +180,6 @@ object Similarity {
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    val emb = embeddings(spark, sfDir)
     val qEmb = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = cands
@@ -292,14 +305,12 @@ object Similarity {
       knownCount = Some(n)) // metadata-only, but don't pay it twice
   }
 
-  /** The deterministic driver-side quantizer fit on its own: after this,
-    * the centroids are plain literals — the e4 oracle interpolates them
-    * into DuckDB SQL as a VALUES table and replays assignment + nprobe
-    * probing + exact-cosine ranking from scratch. */
   /** The shared deterministic fit sample: seeded, vec_id-ordered,
     * bounded at FitSampleCap rows (one bounded collect). Callers that
     * need several quantizers (IVF + PQ, or the oracle builders) should
-    * collect this ONCE and fit from it. */
+    * collect this ONCE and fit from it; the fitted centroids/codebooks
+    * are plain literals afterwards, which is what lets the e4/e6/e7
+    * oracles replay the whole search as DuckDB VALUES tables. */
   private[graft] def fitSample(raw: DataFrame, n: Long): Array[Array[Float]] =
     (if (n <= FitSampleCap) raw
      else raw.sample(withReplacement = false, FitSampleCap.toDouble / n, seed = 42L))
@@ -396,9 +407,15 @@ object Similarity {
   def knnPq(spark: SparkSession, sfDir: String,
       numQueries: Int = 10, k: Int = 5, m: Int = PqM, ks: Int = PqKs,
       knownCount: Option[Long] = None,
+      fittedBooks: Option[Array[Array[Array[Double]]]] = None): DataFrame =
+    knnPqOf(embeddings(spark, sfDir), numQueries, k, m, ks, knownCount,
+      fittedBooks)
+
+  /** knnPq over ANY (vec_id, embedding) frame (see knnBruteForceOf). */
+  def knnPqOf(raw: DataFrame,
+      numQueries: Int = 10, k: Int = 5, m: Int = PqM, ks: Int = PqKs,
+      knownCount: Option[Long] = None,
       fittedBooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val raw = embeddings(spark, sfDir)
     val books = fittedBooks.getOrElse {
       val n = knownCount.getOrElse(raw.count())
       fitPqCodebooks(raw, n, m, ks)
@@ -415,24 +432,89 @@ object Similarity {
         while (mi < m) { s += lut(qi)(mi)(codes(mi)); mi += 1 }
         (qids(qi), s)
       })
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("vec_id").asc)
-    raw.select(col("vec_id"), encode(col("embedding")).as("codes"))
+    val scored = raw
+      .select(col("vec_id"), encode(col("embedding")).as("codes"))
       .select(col("vec_id"), explode(adcAll(col("codes"))).as("qa"))
       .select(col("qa._1").as("query_id"), col("vec_id"), col("qa._2").as("adc"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w))
+    globalTopK(localTopK(scored, k), k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** Per-partition top-k pre-aggregation — the skew killer for the ADC
+    * rankers: a window partitioned by query_id alone funnels each query's
+    * ENTIRE corpus-sized candidate set through one task (fine for the
+    * bucket-bounded cosine legs, a skew bomb for the exhaustive PQ scan
+    * at 100 TB). This narrow mapPartitions keeps a worst-at-head k-heap
+    * per query (numQueries is bounded — the LUTs were collected to the
+    * driver already), so the global merge window sees ≤ partitions × k
+    * rows per query instead of the corpus. Per-partition top-k under the
+    * same total order (adc asc, id asc) then global top-k is EXACTLY the
+    * global top-k — oracle output unchanged. Expects columns (query_id,
+    * vec_id, adc [, cell]); `cell` rides along for e7. */
+  private def localTopK(scored: DataFrame, k: Int): DataFrame = {
+    val sp = scored.sparkSession
+    import sp.implicits._
+    val withCell =
+      if (scored.columns.contains("cell")) scored
+      else scored.withColumn("cell", lit(-1))
+    val ds = withCell.select(col("query_id").cast("long"),
+      col("vec_id").cast("long"), col("adc").cast("double"),
+      col("cell").cast("int")).as[(Long, Long, Double, Int)]
+    val out = ds.mapPartitions { it =>
+      // head = WORST of the kept k: larger (adc, vec_id) is worse
+      val worstFirst = new java.util.Comparator[(Long, Long, Double, Int)] {
+        def compare(a: (Long, Long, Double, Int), b: (Long, Long, Double, Int)): Int = {
+          val c = java.lang.Double.compare(b._3, a._3)
+          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+        }
+      }
+      val heaps = new java.util.HashMap[Long, java.util.PriorityQueue[(Long, Long, Double, Int)]]()
+      it.foreach { r =>
+        var h = heaps.get(r._1)
+        if (h == null) {
+          h = new java.util.PriorityQueue[(Long, Long, Double, Int)](k + 1, worstFirst)
+          heaps.put(r._1, h)
+        }
+        if (h.size < k) h.offer(r)
+        else {
+          val w = h.peek()
+          if (r._3 < w._3 || (r._3 == w._3 && r._2 < w._2)) {
+            h.poll(); h.offer(r)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
+    }
+    out.toDF("query_id", "vec_id", "adc", "cell")
+  }
+
+  /** The global per-query merge over localTopK's bounded candidates: the
+    * only exchange of the ADC rankers. */
+  private def globalTopK(cands: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"))
+        col("vec_id"), col("cell"))
   }
 
   def knnIvf(spark: SparkSession, sfDir: String,
       numQueries: Int = 10, k: Int = 5, nlist: Int = IvfNlist,
       nprobe: Int = IvfNprobe, knownCount: Option[Long] = None,
+      fittedCenters: Option[Array[Array[Double]]] = None): DataFrame =
+    knnIvfOf(embeddings(spark, sfDir), numQueries, k, nlist, nprobe,
+      knownCount, fittedCenters)
+
+  /** knnIvf over ANY (vec_id, embedding) frame (see knnBruteForceOf). */
+  def knnIvfOf(raw: DataFrame,
+      numQueries: Int = 10, k: Int = 5, nlist: Int = IvfNlist,
+      nprobe: Int = IvfNprobe, knownCount: Option[Long] = None,
       fittedCenters: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val raw = embeddings(spark, sfDir)
     // fittedCenters: a caller fitting several quantizers (annRecall)
     // shares ONE sample collect instead of refitting per leg — the fit
     // is deterministic, so this changes cost only
@@ -498,10 +580,19 @@ object Similarity {
       nprobe: Int = IvfNprobe, m: Int = PqM, ks: Int = PqKs,
       knownCount: Option[Long] = None,
       fitted: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] =
+        None): DataFrame =
+    knnIvfPqOf(embeddings(spark, sfDir), numQueries, k, nlist, nprobe,
+      m, ks, knownCount, fitted)
+
+  /** knnIvfPq over ANY (vec_id, embedding) frame (see knnBruteForceOf). */
+  def knnIvfPqOf(raw: DataFrame,
+      numQueries: Int = 10, k: Int = 5, nlist: Int = IvfNlist,
+      nprobe: Int = IvfNprobe, m: Int = PqM, ks: Int = PqKs,
+      knownCount: Option[Long] = None,
+      fitted: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] =
         None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val raw = embeddings(spark, sfDir)
+    val sp = raw.sparkSession
+    import sp.implicits._
     // ONE bounded sample collect feeds BOTH quantizer fits; the PQ
     // codebooks are fitted on RESIDUALS (x − centroid(x)) — true IVF+PQ
     val (centers, books) = fitted.getOrElse {
@@ -567,16 +658,42 @@ object Similarity {
       while (mi < m) { s += lut(mi)(codes(mi)); mi += 1 }
       s
     })
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("vec_id").asc)
-    coded
+    val scored = coded
       .join(broadcast(probes),
         col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
       .withColumn("adc", adcOf(col("qi"), col("cell"), col("codes")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cell"))
+      .select(col("query_id"), col("vec_id"), col("adc"), col("cell"))
+    globalTopK(localTopK(scored, k), k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cell"))
+  }
+
+  /** Production entry point for the composite — the search you'd actually
+    * run at 100 TB: nlist DERIVED from the corpus row count (metadata-only
+    * count, same ceil(n/targetCell) clamp as knnIvfAuto) so expected cell
+    * occupancy stays near targetCell at any scale; the pinned nlist=16
+    * `knnIvfPq` remains the test-SF/e7 oracle path.
+    *
+    * The m/ks trade-off (why they stay pinned): m subspaces × log2(ks)
+    * bits is the code size — m=8, ks=16 stores 8 codes of 4 bits = 8
+    * bytes/vector (32× smaller than 64 floats) with 8 independent
+    * codebooks of 16×8 doubles each, fitted from the SAME bounded sample
+    * at any corpus size. Raising ks (16→256) improves ADC resolution but
+    * grows every LUT and codebook 16× and needs a proportionally larger
+    * fit sample per centroid; raising m halves each subspace (finer
+    * quantization, bigger codes). Corpus size argues for neither — they
+    * trade RECALL against CODE BYTES, so they are a quality knob the
+    * caller sets, while nlist tracks corpus size to keep probe-side cell
+    * scans bounded. */
+  def knnIvfPqAuto(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5,
+      targetCell: Long = 100000L, nprobe: Int = IvfNprobe,
+      m: Int = PqM, ks: Int = PqKs): DataFrame = {
+    val raw = embeddings(spark, sfDir)
+    val n = raw.count() // parquet metadata count, no data scan
+    knnIvfPqOf(raw, numQueries, k,
+      nlist = derivedNlist(n, targetCell), nprobe = nprobe, m = m, ks = ks,
+      knownCount = Some(n))
   }
 
   /** The residual-PQ distance kernel — ‖(v − ctr0)_sub − cb‖² over one
@@ -615,10 +732,17 @@ object Similarity {
       numQueries: Int = 10, k: Int = 5): DataFrame = {
     import spark.implicits._
     val total = numQueries.toLong * k
+    // ONE persisted corpus frame threads through EVERY leg (ground truth,
+    // all four approximate searches, the shared quantizer fit): uncached,
+    // each leg re-scanned embeddings independently — 5+ parquet scans for
+    // one recall number, the slowest r4 bench entry. swapCache evicts the
+    // previous invocation's copy, so a long-lived session holds one copy.
+    val raw = Dedup.swapCache("e5-embeddings", embeddings(spark, sfDir))
+    val n = raw.count() // materializes the cache before the legs fan out
     // ground truth is numQueries×k rows — materialize ONCE driver-side
     // (bounded by construction) instead of re-running the brute-force
     // scan for each approximate method's semi-join
-    val exact = knnBruteForce(spark, sfDir, numQueries, k)
+    val exact = knnBruteForceOf(raw, numQueries, k)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       .toDF("query_id", "neighbor_id")
@@ -629,17 +753,16 @@ object Similarity {
         .select(lit(method).as("method"), col("hits"), lit(total).as("total"),
           round(col("hits") / total, 6).as("recall"))
     // ONE sample collect + count feed every fitted leg's quantizers
-    val raw = embeddings(spark, sfDir)
-    val sample = fitSample(raw, raw.count())
+    val sample = fitSample(raw, n)
     val centers = lloyd(sample, IvfNlist, FitIters)
     val books = pqCodebooksFrom(sample)
     val rbooks = pqCodebooksFrom(residualCodebookSample(sample, centers))
-    recallOf(knnLsh(spark, sfDir, numQueries, k), "lsh")
-      .unionAll(recallOf(knnIvf(spark, sfDir, numQueries, k,
+    recallOf(knnLshOf(raw, numQueries, k), "lsh")
+      .unionAll(recallOf(knnIvfOf(raw, numQueries, k,
         fittedCenters = Some(centers)), "ivf"))
-      .unionAll(recallOf(knnPq(spark, sfDir, numQueries, k,
+      .unionAll(recallOf(knnPqOf(raw, numQueries, k,
         fittedBooks = Some(books)), "pq"))
-      .unionAll(recallOf(knnIvfPq(spark, sfDir, numQueries, k,
+      .unionAll(recallOf(knnIvfPqOf(raw, numQueries, k,
         fitted = Some((centers, rbooks))), "ivfpq"))
   }
 

@@ -271,20 +271,26 @@ object TextOps {
     * Σcounts/minCount and broadcasts; per-doc totals are closed-form
     * (length−2), so the whole op is one trigram aggregation + one
     * broadcast-join aggregation over the corpus — two shuffles at any
-    * size. At 100 TB raise minCount (the common table SHRINKS as the
-    * threshold rises) or swap the broadcast hint for a shuffle join. */
+    * size. The two 100 TB valves are PARAMETERS: raise `minCount` (the
+    * common table SHRINKS as the threshold rises), and when it is still
+    * too large to broadcast, set `broadcastCommon = false` to let the
+    * hits join shuffle instead (a third exchange, bought consciously). */
   def withTrigramNovelty(d: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", minCount: Long = 5L): DataFrame = {
-    val tris = d.select(col(idCol), explode(expr(
-      s"""CASE WHEN length($textCol) >= 3
-         |  THEN transform(sequence(1, length($textCol) - 2),
-         |                 i -> substring($textCol, i, 3))
-         |  ELSE array() END""".stripMargin)).as("tri"))
+      textCol: String = "text", minCount: Long = 5L,
+      broadcastCommon: Boolean = true): DataFrame = {
+    // built with column functions (not interpolated SQL text) so a column
+    // name needing backticks — spaces, dots — works like every sibling op
+    val t = col(textCol)
+    val triArr = when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val tris = d.select(col(idCol), explode(triArr).as("tri"))
     val common = tris.groupBy(col("tri"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .select(col("tri"))
-    val hits = tris.join(broadcast(common), "tri")
+    val hits = tris
+      .join(if (broadcastCommon) broadcast(common) else common, "tri")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_common"))
     d.select(col(idCol),
         greatest(length(col(textCol)) - 2, lit(0)).cast("long").as("n_tri"))

@@ -111,6 +111,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, failures.mkString("\n  ", "\n  ", "\n"))
   }
 
+  test("e5 recall gate reads the corpus from ONE cached frame, not per leg") {
+    // annRecall threads a single persisted embeddings frame through all
+    // five legs: the top-level plan must contain NO parquet scan at all
+    // (every corpus read is an InMemoryTableScan over the shared cache) —
+    // the r4 shape re-scanned embeddings once per leg, 5+ scans per call.
+    val plan = SparkEntry.queries("e5_ann_recall")(spark, sf)
+      .queryExecution.executedPlan
+    val ops = plan.collect { case p => p.getClass.getSimpleName }
+    assert(ops.count(_ == "FileSourceScanExec") == 0,
+      s"parquet scan escaped the e5 cache: ${ops.mkString(", ")}")
+    assert(ops.count(_ == "InMemoryTableScanExec") > 0, ops.mkString(", "))
+  }
+
   test("mega-bucket valve plans a semi-join BEFORE the collect aggregation") {
     import org.apache.spark.sql.functions._
     import graft.ops.Dedup

@@ -611,6 +611,37 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tiny.getLong(1) == 0 && tiny.getLong(3) == 0)
   }
 
+  test("scale knobs: t12 shuffle join, d8 recompute, ivf+pq auto — same rows") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Similarity, TextOps}
+    // t12: broadcast-vs-shuffle join strategy is a parameter; values identical
+    val docs = ((1 to 10).map(i => (s"c$i", "the common sentence here")) :+
+      ("alien", "zzqxj wvkpf")).toDF("doc_id", "text")
+    val bc = TextOps.withTrigramNovelty(docs).collect().map(_.toString).sorted
+    val sh = TextOps.withTrigramNovelty(docs, broadcastCommon = false)
+      .collect().map(_.toString).sorted
+    assert(bc.sameElements(sh))
+    // t12 over a column name needing backticks (spaces) — built with
+    // column functions now, not interpolated SQL text
+    val spaced = docs.withColumnRenamed("text", "the text")
+    val sp2 = TextOps.withTrigramNovelty(spaced, textCol = "the text")
+      .collect().map(_.toString).sorted
+    assert(sp2.sameElements(bc))
+    // d8: cache-vs-recompute is a parameter; values identical
+    val run = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d8docs = Seq(("a", run), ("b", run), ("c", "unique words entirely"))
+      .toDF("doc_id", "text")
+    val cached = Dedup.withRepeatedNgrams(d8docs).collect().map(_.toString).sorted
+    val recomputed = Dedup.withRepeatedNgrams(d8docs, cacheSignatures = false)
+      .collect().map(_.toString).sorted
+    assert(cached.sameElements(recomputed))
+    // e7 production entry: derived nlist lands on the pinned default at
+    // test SF → identical rows to the oracle-path knnIvfPq
+    val auto = Similarity.knnIvfPqAuto(spark, sf).collect().map(_.toString).sorted
+    val pinned = Similarity.knnIvfPq(spark, sf).collect().map(_.toString).sorted
+    assert(auto.sameElements(pinned))
+  }
+
   test("real PNG decode: pngEncode → javax.imageio roundtrips every pixel") {
     import graft.ops.MediaOps
     for (seed <- Seq(0L, 7L, 4294967295L, 123456789L)) {
