@@ -73,11 +73,33 @@ object Pipeline {
         * valve, ON by default: a bucket holding >1000 docs is template/
         * boilerplate mass whose Σ|bucket|² pair explosion can stall a
         * stage, and exact dedup upstream already collapsed true copies.
+        * BREAKING since r4 for library callers: the default was
+        * Int.MaxValue (uncapped) through r3 — curate/curateExtracted/
+        * curateClustered results can differ on corpora with >1000-doc
+        * near-dup cohorts unless Int.MaxValue is passed explicitly.
         * Every capped run is auditable — `run` writes a
-        * `fuzzy_dedup_cap` lineage row with dropped_buckets/dropped_rows.
-        * The oracle entries (p1/p2) pass Int.MaxValue explicitly: the
-        * uncapped path stays value-verified against DuckDB. */
+        * `fuzzy_dedup_cap` lineage row with dropped_buckets/dropped_rows,
+        * and library callers of curate* get the same numbers from
+        * `Pipeline.dropAudit`. The oracle entries (p1/p2) pass
+        * Int.MaxValue explicitly: the uncapped path stays value-verified
+        * against DuckDB. */
       maxBucket: Int = 1000)
+
+  /** Valve audit for library callers of curate/curateExtracted (the
+    * `run` entry writes this into lineage automatically): the
+    * dropped-bucket stats of the SAME banded frame the fuzzy stage
+    * builds, so a capped run never silently reads as "covered
+    * everything". One row: (dropped_buckets, dropped_rows) — zeros when
+    * nothing was over the cap. Callers of `curate(docs, cfg)` pass
+    * `SgmlExtract.extractDf(docs, cfg.extract)` as `extracted`; the
+    * banded frame is served from the capBuckets swapCache when the
+    * curation ran on this session, so the audit does not re-pay the
+    * signature pass. */
+  def dropAudit(extracted: DataFrame, cfg: Config = Config()): DataFrame = {
+    val exact = exactStage(qualityStage(extracted))
+    Dedup.droppedBucketStats(Dedup.bandsOf(exact, "doc_id", "text"),
+      Seq("band", "band_hash"), cfg.maxBucket)
+  }
 
   /** Contract table (doc_id, spans) → curated (doc_id, text, predicted_lang,
     * n_words). */
@@ -178,6 +200,36 @@ object Pipeline {
       .select(col("doc_id"), col("text"), col("predicted_lang"), col("n_words"))
   }
 
+  /** Listing digest of an input path for the resume fingerprint: file
+    * count, total bytes, max modification time over non-hidden files.
+    * Metadata-only (no data read). Paths that cannot be listed (a table
+    * identifier rather than a directory) degrade to a constant so resume
+    * still works config-guarded, with a warning. */
+  private[graft] def inputDigest(spark: SparkSession, inPath: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(inPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      var bytes = 0L
+      var maxMtime = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          n += 1
+          bytes += st.getLen
+          if (st.getModificationTime > maxMtime) maxMtime = st.getModificationTime
+        }
+      }
+      s"files=$n bytes=$bytes maxMtime=$maxMtime"
+    } catch {
+      case e: Exception =>
+        log.warn(s"inputDigest: cannot list '$inPath' (${e.getMessage}); " +
+          "resume will guard on config only — stale-input reuse is possible")
+        "unlisted"
+    }
+
   /** Production entry: read a contract table, PARSE ONCE, write the
     * extracted product, then derive curated output + per-partition
     * lineage from the cheap columnar re-read — the expensive leg (the
@@ -195,10 +247,18 @@ object Pipeline {
     // file); compose them by pointing `inPath` at Resume's output.
     // The checkpoint is only valid for the SAME input and parse config:
     // a fingerprint written next to the product guards against silently
-    // reusing a stale extract for a different inPath / dialect / layout.
+    // reusing a stale extract for a different inPath / dialect / layout —
+    // AND for changed CONTENT at the same inPath: the fingerprint folds in
+    // a listing digest of the input (file count, total bytes, max mtime),
+    // so re-running after the input files were replaced or appended
+    // re-parses instead of silently curating from stale data. The listing
+    // is a metadata-only namenode op the read pays anyway; for
+    // non-filesystem inputs (an Iceberg table identifier), the digest
+    // degrades to a constant and config-only guarding — Iceberg's own
+    // snapshot id is the right digest there (documented day-one gap).
     val fingerprint =
       s"in=$inPath format=$format partitions=${cfg.partitions} " +
-        s"extract=${cfg.extract}"
+        s"extract=${cfg.extract} input={${inputDigest(spark, inPath)}}"
     val successMarker =
       new org.apache.hadoop.fs.Path(s"$outPath/extracted/_SUCCESS")
     val metaPath = new org.apache.hadoop.fs.Path(s"$outPath/extracted/_graft_meta")

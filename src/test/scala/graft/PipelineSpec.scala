@@ -118,7 +118,32 @@ class PipelineSpec extends AnyFunSuite {
       Pipeline.Config(extract =
         SgmlExtract.Config(dialect = "xml", space = "preserve")),
       runId = "r4")
-    assert(java.nio.file.Files.getLastModifiedTime(marker) != t3)
+    val t4 = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(t4 != t3)
+    // CHANGED INPUT at the same inPath must not reuse the stale product
+    // either: the fingerprint folds in a listing digest (count/bytes/
+    // mtime), so the new doc shows up in curated after a resume=true run
+    Thread.sleep(20)
+    docsOf("a" -> quality,
+        "b" -> "der hund und die katze sind nicht in dem haus und das ist gut so",
+        "c" -> (quality.replace("fox", "wolf")))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    Pipeline.run(spark, s"$dir/in", s"$dir/out",
+      Pipeline.Config(extract =
+        SgmlExtract.Config(dialect = "xml", space = "preserve")),
+      runId = "r5")
+    assert(java.nio.file.Files.getLastModifiedTime(marker) != t4)
+    assert(spark.read.parquet(s"$dir/out/extracted").count() == 3)
+    // an unchanged input + config DOES still resume (digest is stable)
+    val t5 = java.nio.file.Files.getLastModifiedTime(marker)
+    Thread.sleep(20)
+    Pipeline.run(spark, s"$dir/in", s"$dir/out",
+      Pipeline.Config(extract =
+        SgmlExtract.Config(dialect = "xml", space = "preserve")),
+      runId = "r6")
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == t5)
+    // unlistable input (no such path) degrades to the config-only guard
+    assert(Pipeline.inputDigest(spark, s"$dir/definitely-missing") == "unlisted")
   }
 
   test("run(): a firing valve is recorded in lineage, not silent") {
@@ -144,5 +169,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(cap.head.getAs[Long]("dropped_rows") > 0L)
     // and the capped run keeps the whale cohort instead of pair-exploding
     assert(spark.read.parquet(s"$dir/out/curated").count() == 12)
+    // library callers (curate/curateExtracted, no lineage sink) get the
+    // same audit numbers from dropAudit — a capped run is never silent
+    val docs = docsOf((1 to 12).map(i => f"t$i%02d" -> tpl(i)): _*)
+    val extracted = SgmlExtract.extractDf(docs,
+      Pipeline.Config().extract)
+    val audit = Pipeline.dropAudit(extracted,
+      Pipeline.Config(maxBucket = 4)).collect().head
+    assert(audit.getAs[Long]("dropped_buckets") == cap.head.getAs[Long]("dropped_buckets"))
+    assert(audit.getAs[Long]("dropped_rows") == cap.head.getAs[Long]("dropped_rows"))
+    // uncapped: zeros (the row's presence is the audit)
+    val none = Pipeline.dropAudit(extracted).collect().head
+    assert(none.getAs[Long]("dropped_buckets") == 0L)
   }
 }
