@@ -397,7 +397,14 @@ object SparkEntry {
     "m4_audio_stats" -> ((s, dir) =>
       // REAL PCM path: javax.sound decodes each WAV, exact integer
       // sum-of-squares + RMS over the 16-bit samples
-      MediaOps.audioStats(MediaOps.syntheticAssets(s, dir)))
+      MediaOps.audioStats(MediaOps.syntheticAssets(s, dir))),
+    "m5_video_frames" -> ((s, dir) =>
+      // REAL video-frame path: each video doc's multi-frame GIF twin is
+      // decoded via ImageIO — frame count read from the container, only
+      // the SAMPLED frames decoded, each raster pixel-hashed; the oracle
+      // replays every sampled frame's pixels from the seed (same fold
+      // as m2's resize path)
+      MediaOps.videoFrameHashes(MediaOps.syntheticVideos(s, dir)))
   )
 
   // ---- oracle offsets/fragments DERIVED from the wrapper constants ----
@@ -860,6 +867,30 @@ object SparkEntry {
         |SELECT media_ref, n_frames,
         |  CAST(unnest(generate_series(0, n_frames - 1, 30)[1:8]) AS BIGINT) AS frame_idx
         |FROM mm WHERE mime LIKE 'video%'""".stripMargin,
+    // m5 replays the REAL frame-decode path from the seed: the GIF twin's
+    // dims/frame count are closed-form, the sampled indices follow m3's
+    // stride policy, and each sampled frame's raster is the continued
+    // pngPixel stream (frame f starts at flat index f·w·h; the decoded
+    // gray palette repeats each value across r,g,b — hence i//3), folded
+    // with the shared base-31 pixel hash
+    "m5_video_frames" ->
+      s"""WITH $mediaCtes,
+        |vg AS ( -- the GIF twin: small real-pixel dims + frame count
+        |  SELECT media_ref, seed,
+        |    8 + seed % 16 AS gw, 8 + (seed // 16) % 16 AS gh,
+        |    1 + (seed // 256) % 120 AS nf
+        |  FROM mm WHERE mime LIKE 'video%'),
+        |fr AS (
+        |  SELECT media_ref, nf, gw, gh, seed,
+        |    unnest(generate_series(0, nf - 1, 30)[1:8]) AS frame_idx
+        |  FROM vg)
+        |SELECT media_ref, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(0, gw * gh * 3), i ->
+        |      (seed + (frame_idx * gw * gh + i // 3 + 1) * 2654435761) % 4294967311 % 256)),
+        |    (h, v) -> (h * 31 + v) % 4294967311) AS frame_hash
+        |FROM fr""".stripMargin,
     "d4_simhash" ->
       s"WITH $simhashCtes SELECT doc_id, simhash FROM sh2",
     "d5_simhash_pairs" ->

@@ -682,6 +682,49 @@ class SparkExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("real video-frame decode: multi-frame GIF, sampled frames, pixel-exact") {
+    import graft.ops.MediaOps
+    // multi-frame roundtrip at the unit level: every frame of a 3-frame
+    // GIF continues the closed-form pixel stream
+    val (w, h, seed) = (9, 7, 12345L)
+    val bytes = MediaOps.gifEncodeFrames(w, h, seed, 3)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == 3)
+    for (f <- 0 until 3) {
+      val img = reader.read(f)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = MediaOps.pngPixel(seed, f.toLong * w * h + y * w + x)
+        assert((img.getRGB(x, y) & 0xFF) == v, s"frame $f pixel ($x,$y)")
+      }
+    }
+    reader.dispose(); iis.close()
+    // the m5 operator over the synthetic corpus: sampled indices follow
+    // the stride policy, counts come from the real container, hashes are
+    // the closed-form fold
+    val rows = MediaOps.videoFrameHashes(MediaOps.syntheticVideos(spark, sf))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, frames) =>
+      val nf = frames.head.getLong(1)
+      val expectIdx = (0L until nf by 30L).take(8).toSet
+      assert(frames.map(_.getLong(2)).toSet == expectIdx)
+    }
+    // spot-verify one hash end to end against the closed form
+    val r0 = rows.minBy(r => (r.getString(0), r.getLong(2)))
+    val id = r0.getString(0).stripPrefix(SgmlExtract.AssetPrefix)
+      .stripSuffix(SgmlExtract.AssetSuffix)
+    val s0 = graft.ops.Dedup.shingleHash(id)
+    val (gw, gh) = MediaOps.gifDims(s0)
+    var expect = 0L
+    for (i <- 0L until gw.toLong * gh * 3)
+      expect = (expect * 31 +
+        MediaOps.pngPixel(s0, r0.getLong(2) * gw * gh + i / 3)) % MediaOps.MediaP
+    assert(r0.getLong(3) == expect)
+  }
+
   test("real pixel resize: nearest-neighbor over the decoded raster") {
     import graft.ops.MediaOps
     val out = MediaOps.resizePixels(MediaOps.syntheticAssets(spark, sf),
