@@ -108,10 +108,16 @@ object SgmlExtract {
     * source, n_chars) into the contract schema — one text span at offset 0.
     * Columns pruned BEFORE the opaque kernel so the parquet scan reads only
     * doc_id+text (pushdown stops at mapPartitions — SURVEY.md §4). */
-  def wrapDocuments(spark: SparkSession, sfDir: String): Dataset[Doc] = {
-    import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(
+  def wrapDocuments(spark: SparkSession, sfDir: String): Dataset[Doc] =
+    wrapDocsDf(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** The wrapDocuments projection over ANY (doc_id, text) frame — ONE
+    * definition shared by the batch wrapper and the streaming file source
+    * (st1 drives the same projection under readStream), so the two legs'
+    * contract shapes cannot drift. */
+  def wrapDocsDf(df: DataFrame): Dataset[Doc] = {
+    import df.sparkSession.implicits._
+    df.select(
         col("doc_id").cast("string").as("doc_id"),
         array(struct(
           lit("text").as("kind"),

@@ -299,6 +299,45 @@ object SparkEntry {
           col("n_words").cast("long").as("n_words"))
     }),
 
+    // ---- streaming (driven to completion inside the query fn) ------------
+    "st1_stream_curate" -> ((s, dir) => {
+      // the STREAMING curation leg under the oracle gate: a bounded
+      // file-source stream over the contract corpus → the SAME stateless
+      // extract kernel → the SHARED quality gate → STATEFUL exact dedup
+      // (dropDuplicates on the content hash) → memory sink, AvailableNow,
+      // awaited to completion; the committed table is the returned frame.
+      // Output is keyed by CONTENT (hash, n_chars, n_words), not doc_id:
+      // the streaming keeper is arrival-order dependent where duplicate
+      // texts exist (first-seen-wins vs the batch min-id rule), and twins
+      // agree on every content column — so the emitted row SET is
+      // deterministic at any SF and the batch oracle replays it as
+      // SELECT DISTINCT over the quality stage.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      // the corpus is a single parquet FILE, but a file-stream source
+      // derives basePath from its path and requires a directory — so the
+      // filename becomes a single-match GLOB ([d]ocuments.parquet): the
+      // glob prefix $dir is the basePath, the pattern matches exactly the
+      // corpus file (production streams a directory; this shim exists
+      // only because the test corpus is one file)
+      val stream = s.readStream.schema(schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+      val curated = streaming.StreamingExtract.curatedStream(
+        streaming.StreamingExtract.extractStream(
+          SgmlExtract.wrapDocsDf(stream),
+          SgmlExtract.Config(dialect = "html4", space = "preserve")))
+      val out = curated.select(md5(col("text")).as("content_hash"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("n_words").cast("long").as("n_words"))
+      val qn = "st1_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("st1_ckpt").toString
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(qn).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+    }),
+
     // ---- deduplication ----------------------------------------------------
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "d2_minhash_bands" -> ((s, dir) => Dedup.minhashBands(s, dir)),
@@ -522,6 +561,26 @@ object SparkEntry {
       |    FROM (SELECT doc_id FROM documents) d0
       |    LEFT JOIN bits b ON b.doc_id = d0.doc_id
       |    GROUP BY d0.doc_id) d)""".stripMargin
+
+  // Quality-stage replay shared by the p1/p2/st1 oracles: the contract
+  // src view + TextOps.withQuality in SQL (≥10 words, ≥1 stopword, ≥50%
+  // alpha). The parse is identity on the plain-text wrapper (x1 pins
+  // that), so quality applies to the raw corpus text — ONE definition so
+  // the batch and streaming oracle legs cannot drift.
+  private def qualitySrcCtes: String = {
+    val stop = TextOps.stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""src AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+      |q AS (
+      |  SELECT doc_id, text,
+      |    CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS n_words
+      |  FROM src
+      |  WHERE LEN(regexp_split_to_array(TRIM(text), '\\s+')) >= 10
+      |    AND LEN(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+      |      x -> list_contains($stop, x))) > 0
+      |    AND LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100 >= LENGTH(text) * 50)"""
+      .stripMargin
+  }
 
   // Synthetic media assets + decode rebuilt in SQL (mirrors
   // graft.ops.MediaOps: base-31 seed over the decimal doc_id). Every
@@ -963,22 +1022,21 @@ object SparkEntry {
         |  ('pq',  CAST(12 AS BIGINT), CAST(50 AS BIGINT), CAST(0.24 AS DOUBLE)),
         |  ('ivfpq', CAST(15 AS BIGINT), CAST(50 AS BIGINT), CAST(0.30 AS DOUBLE)))
         | t(method, hits, total, recall)""".stripMargin,
+    // st1: the streaming leg's batch twin — quality stage + exact dedup
+    // projected to CONTENT columns (the keeper-independent view: identical
+    // texts agree on hash/chars/words, so DISTINCT replays dropDuplicates
+    // regardless of which twin the stream kept first)
+    "st1_stream_curate" ->
+      s"""WITH $qualitySrcCtes
+        |SELECT DISTINCT md5(text) AS content_hash,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars, n_words
+        |FROM q""".stripMargin,
     // full pipeline replay: quality filter → exact dedup (VARCHAR-ordered
     // keeper, mirroring the contract's string doc_id) → banded minhash →
     // Jaccard-verified losers → lang-id — stage for stage what
     // Pipeline.curate plans in Spark
     "p1_curate" -> {
-      val stop = TextOps.stopwords.map(s => s"'$s'").mkString("[", ",", "]")
-      s"""WITH src AS (
-        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
-        |q AS (
-        |  SELECT doc_id, text,
-        |    CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS n_words
-        |  FROM src
-        |  WHERE LEN(regexp_split_to_array(TRIM(text), '\\s+')) >= 10
-        |    AND LEN(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
-        |      x -> list_contains($stop, x))) > 0
-        |    AND LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100 >= LENGTH(text) * 50),
+      s"""WITH $qualitySrcCtes,
         |ex AS (
         |  SELECT doc_id, text, n_words FROM (
         |    SELECT doc_id, text, n_words,
@@ -1021,17 +1079,7 @@ object SparkEntry {
     // dedup — survivors are the docs equal to the minimum doc_id reachable
     // through verified pairs (recursive transitive closure), then lang-id
     "p2_curate_clustered" -> {
-      val stop = TextOps.stopwords.map(s => s"'$s'").mkString("[", ",", "]")
-      s"""WITH RECURSIVE src AS (
-        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
-        |q AS (
-        |  SELECT doc_id, text,
-        |    CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS n_words
-        |  FROM src
-        |  WHERE LEN(regexp_split_to_array(TRIM(text), '\\s+')) >= 10
-        |    AND LEN(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
-        |      x -> list_contains($stop, x))) > 0
-        |    AND LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100 >= LENGTH(text) * 50),
+      s"""WITH RECURSIVE $qualitySrcCtes,
         |ex AS (
         |  SELECT doc_id, text, n_words FROM (
         |    SELECT doc_id, text, n_words,

@@ -209,4 +209,22 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("2026-01-01 10:00:00") == ((2L, 3L, 1L))) // late row NOT counted
     assert(rows("2026-01-01 10:01:00") == ((1L, 3L, 0L)))
   }
+
+  test("st1: bounded file-source stream ≡ batch quality+dedup content set") {
+    // the oracle-gated streaming query end to end: file source over the
+    // real corpus, extract kernel, shared quality gate, stateful exact
+    // dedup, memory sink — its committed row set must equal the BATCH
+    // twin's distinct content projection (what the DuckDB oracle replays)
+    val sf = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("st1_stream_curate")(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(streamed.nonEmpty)
+    val batch = Pipeline.qualityStage(
+        SgmlExtract.extractDf(SgmlExtract.wrapDocuments(spark, sf).toDF(), cfg))
+      .select(md5(col("text")).as("content_hash"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("n_words").cast("long").as("n_words"))
+      .distinct().collect().map(_.toString).toSet
+    assert(streamed == batch)
+  }
 }
