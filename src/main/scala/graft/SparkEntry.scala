@@ -338,6 +338,28 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    // ---- SQL kernel surface (text-only query, registered functions) ------
+    "k1_sql_kernels" -> ((s, dir) => {
+      // the OpsFunctions surface under the oracle gate end-to-end: the
+      // query is exactly what a SQL-first user types — TEXT ONLY, every
+      // kernel via a registered function (simhash64 / minhash_sig /
+      // text_shingles / doc_fingerprint / ngram_jaccard); DuckDB replays
+      // each kernel from the shared closed-form arithmetic. try_element_at
+      // (1-based) keeps empty fingerprints null under ANSI mode, matching
+      // the oracle's out-of-range list index.
+      OpsFunctions.register(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView("k1_documents")
+      s.sql("""
+        SELECT a.doc_id,
+          simhash64(a.text) AS simhash,
+          try_element_at(minhash_sig(a.text), 1) AS mh0,
+          size(text_shingles(a.text)) AS n_shingles,
+          try_element_at(doc_fingerprint(a.text), 1) AS fp_min,
+          round(ngram_jaccard(a.text, b.text), 6) AS j_next
+        FROM k1_documents a JOIN k1_documents b ON b.doc_id = a.doc_id + 1""")
+    }),
+
     // ---- deduplication ----------------------------------------------------
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "d2_minhash_bands" -> ((s, dir) => Dedup.minhashBands(s, dir)),
@@ -1236,6 +1258,39 @@ object SparkEntry {
         |FROM g LEFT JOIN hits h ON h.doc_id = g.doc_id""".stripMargin,
     "d2_minhash_bands" ->
       s"WITH ${minhashCtesFrom("documents")} SELECT doc_id, band, band_hash FROM bands",
+    // k1: every registered SQL kernel replayed per doc — simhash (d4's
+    // ctes), first minhash value (d2's sig at i=0), distinct-shingle count
+    // (the g cte), first fingerprint value (t5's winnowing body), and the
+    // consecutive-doc jaccard (d6's formula over the same g)
+    "k1_sql_kernels" -> {
+      s"""WITH ${minhashCtesFrom("documents")},
+        |$simhashCtes,
+        |cps AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '.', 0, 's'), c -> ord(c)::BIGINT) AS cp
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(cp) < 16 THEN []::BIGINT[]
+        |    ELSE list_sort(list_distinct(list_transform(range(1, len(cp) - 14),
+        |      i -> list_reduce(list_prepend(0::BIGINT, cp[i:i+15]),
+        |             (h, c) -> (h * 31 + c) % 4294967311))))[1:8]
+        |    END AS f
+        |  FROM cps),
+        |j AS (
+        |  SELECT a.doc_id,
+        |    ROUND(CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+        |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END, 6) AS j_next
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1)
+        |SELECT j.doc_id, sh2.simhash, s0.v AS mh0,
+        |  CAST(len(g.sh) AS INTEGER) AS n_shingles, fp.f[1] AS fp_min, j.j_next
+        |FROM j
+        |JOIN sh2 ON sh2.doc_id = j.doc_id
+        |JOIN (SELECT doc_id, v FROM sig WHERE i = 0) s0 ON s0.doc_id = j.doc_id
+        |JOIN g ON g.doc_id = j.doc_id
+        |JOIN fp ON fp.doc_id = j.doc_id""".stripMargin
+    },
     "d3_minhash_pairs" ->
       s"""WITH ${minhashCtesFrom("documents")},
         |cand AS (
