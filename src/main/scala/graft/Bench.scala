@@ -268,16 +268,37 @@ object Bench {
     // buries the effect: the ~1 GB exchange costs the same on both legs
     // and its GC noise swings several seconds run-to-run (measured; the
     // parse-stage split below is stable).
-    def parseTime(df: org.apache.spark.sql.DataFrame): Double = {
+    // wall time AND the per-task duration distribution of the parse
+    // stage (SparkListener over the timed action only): the p99/max task
+    // time is the quantitative skew evidence — a whale-loaded task is the
+    // straggler that pins a 1000-executor stage, and the size-aware bound
+    // must show up as a BOUNDED tail, not just a better mean
+    def parseTime(df: org.apache.spark.sql.DataFrame): (Double, Array[Long]) = {
       val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c.count() // materialize the placement
+      val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskInfo != null) durs.add(te.taskInfo.duration)
+      }
+      spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       SgmlExtract.extractDf(c, cfg)
         .select(size(col("spans")).as("s")).agg(sum(col("s"))).collect()
       val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // bench-only: let the listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
       c.unpersist(blocking = true)
-      secs
+      import scala.jdk.CollectionConverters._
+      (secs, durs.asScala.map(_.toLong).toArray)
     }
+    def pct(a: Array[Long], p: Double): Long =
+      if (a.isEmpty) 0L
+      else {
+        val s = a.sorted // nearest-rank percentile
+        s(math.max(0, math.min(s.length - 1, math.ceil(p * s.length).toInt - 1)))
+      }
     // AQE off for this comparison: we are demonstrating OUR explicit
     // placement, not AQE's skew splitting (which only helps join/agg
     // shuffles, not an opaque parse stage anyway)
@@ -298,9 +319,10 @@ object Bench {
       val sa = parseTime(SgmlExtract.sizeAwareRepartition(docs, n, whaleChars = 100000))
       (nv, sa)
     }
-    val naive = trials.map(_._1).min // best-of: uncontended estimate
-    val salted = trials.map(_._2).min
-    println(f"""{"metric":"skew_speedup","value":${naive / salted}%.2f,"unit":"x","queries":{"naive_hash_sec":$naive%.2f,"size_aware_sec":$salted%.2f,"whales":${2 * n},"naive_max_whales_per_task":$naiveLoad,"salted_max_whales_per_task":$saltedLoad},"sf":"$sfDir"}""")
+    // best-of wall (uncontended estimate); task distribution of that trial
+    val (naive, naiveTasks) = trials.map(_._1).minBy(_._1)
+    val (salted, saltedTasks) = trials.map(_._2).minBy(_._1)
+    println(f"""{"metric":"skew_speedup","value":${naive / salted}%.2f,"unit":"x","queries":{"naive_hash_sec":$naive%.2f,"size_aware_sec":$salted%.2f,"whales":${2 * n},"naive_max_whales_per_task":$naiveLoad,"salted_max_whales_per_task":$saltedLoad,"naive_task_p50_ms":${pct(naiveTasks, 0.5)},"naive_task_p99_ms":${pct(naiveTasks, 0.99)},"naive_task_max_ms":${pct(naiveTasks, 1.0)},"salted_task_p50_ms":${pct(saltedTasks, 0.5)},"salted_task_p99_ms":${pct(saltedTasks, 0.99)},"salted_task_max_ms":${pct(saltedTasks, 1.0)},"tasks":${naiveTasks.length}},"sf":"$sfDir"}""")
     spark.stop()
   }
 
