@@ -111,6 +111,12 @@ object SparkEntry {
         sum(col("spans")).as("spans"), sum(col("errors")).as("errors"))
     }),
 
+    "x10_table_extract" -> ((s, dir) =>
+      // structured extraction: HTML tables (every optional end tag
+      // omitted — DTD omission inference builds the grid) → relational
+      // (doc, table, row, col, cell) rows; same one-stage kernel shape
+      TableOps.tableExtract(s, dir)),
+
     "x5_serialize_roundtrip" -> ((s, dir) => {
       // W1/W5: parse + canonical re-serialization; the DuckDB oracle
       // reconstructs the exact expected markup (incl. the implied <head>
@@ -409,6 +415,19 @@ object SparkEntry {
     "t7_pii_scrub" -> ((s, dir) => TextOps.piiScrub(s, dir)),
     "t8_url_extract" -> ((s, dir) => TextOps.urlExtract(s, dir)),
     "t9_repetition" -> ((s, dir) => TextOps.repetitionSignals(s, dir)),
+    "t13_chunk" -> ((s, dir) =>
+      // context-length shaping: sliding 32-token windows, stride 24 —
+      // map-only explode, zero shuffles (the long-doc → training-sample op)
+      Chunking.chunkDocs(s, dir)),
+    "t14_vocab_topk" -> ((s, dir) =>
+      // corpus frequency table (tokenizer/stopword seed): one hash agg
+      // with map-side partials + TakeOrdered top-k, total order pinned
+      TextOps.vocabTopK(s, dir)),
+    "c1_pack_sequences" -> ((s, dir) =>
+      // concatenate-and-slice packing: global token prefix sum via ONE
+      // range shuffle + partition-offset broadcast (distributed scan),
+      // never a single-partition window; pack id = seq_start / 256
+      Chunking.packSequences(s, dir)),
 
     // ---- deterministic sampling (restart-stable corpus downsampling) ------
     "s1_stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -1335,6 +1354,50 @@ object SparkEntry {
         | CAST(LEN(regexp_extract_all(text, '[a-zA-Z0-9]+'))
         |   + LEN(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS INTEGER) AS bpe_tokens
         |FROM documents""".stripMargin,
+    // t13: sliding 32-token windows, stride 24; chunk k = tokens
+    // [k*24+1, k*24+32] (1-based inclusive slice, clipped at the end) —
+    // the same integer algebra as Chunking.withChunks
+    "t13_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 32 THEN 1
+        |         ELSE ((len(toks) - 32 + 23) // 24) + 1 END AS nc
+        |  FROM t),
+        |u AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, nc - 1)) AS k
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(k AS INTEGER) AS chunk_idx,
+        |  CAST(LEAST(32, n - k * 24) AS INTEGER) AS chunk_tokens,
+        |  array_to_string(toks[k * 24 + 1 : k * 24 + 32], ' ') AS chunk_text
+        |FROM u""".stripMargin,
+    "t14_vocab_topk" ->
+      """SELECT word, COUNT(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, ' ')) AS word
+        |      FROM documents) w
+        |WHERE LEN(word) > 0
+        |GROUP BY word
+        |ORDER BY cnt DESC, word ASC
+        |LIMIT 100""".stripMargin,
+    // c1: the distributed prefix sum replayed as a plain window cumsum
+    // (identical by the packing invariant: pack ids depend only on the
+    // global doc_id order, not the partitioning)
+    "c1_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tokens,
+        |    SUM(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, tokens,
+        |  CAST(cum - tokens AS BIGINT) AS seq_start,
+        |  CAST((cum - tokens) // 256 AS BIGINT) AS pack_id
+        |FROM c""".stripMargin,
     "t5_fingerprint" ->
       """WITH cps AS (
         |  SELECT doc_id,
@@ -1382,6 +1445,20 @@ object SparkEntry {
         | CAST(SUM(LENGTH(text)) + COUNT(*) * ${SgmlExtract.MarkedTailText.length} AS BIGINT) AS bytes,
         | CAST(3 * COUNT(*) AS BIGINT) AS spans,
         | CAST(0 AS BIGINT) AS errors FROM documents""".stripMargin,
+    // x10: the synthetic per-doc table replayed cell-by-cell from the
+    // documents columns (header row th, two data rows td)
+    "x10_table_extract" ->
+      """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS id, lang, source,
+        |    CASE WHEN strpos(text, ' ') = 0 THEN text
+        |         ELSE substr(text, 1, strpos(text, ' ') - 1) END AS w1
+        |  FROM documents)
+        |SELECT id AS doc_id, 0 AS tbl_idx, 0 AS row_idx, 0 AS col_idx,
+        |  'th' AS cell_tag, 'lang' AS cell FROM d
+        |UNION ALL SELECT id, 0, 0, 1, 'th', 'source' FROM d
+        |UNION ALL SELECT id, 0, 1, 0, 'td', lang FROM d
+        |UNION ALL SELECT id, 0, 1, 1, 'td', source FROM d
+        |UNION ALL SELECT id, 0, 2, 0, 'td', w1 FROM d
+        |UNION ALL SELECT id, 0, 2, 1, 'td', id FROM d""".stripMargin,
     "x7_shortref" ->
       s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
         | replace(text, '${SgmlExtract.ShortrefDelim}', '${SgmlExtract.ShortrefMarker}') AS text,

@@ -304,4 +304,22 @@ object TextOps {
 
   def trigramNovelty(spark: SparkSession, sfDir: String): DataFrame =
     withTrigramNovelty(documents(spark, sfDir))
+
+  // ---- corpus vocabulary ---------------------------------------------------
+
+  /** Top-k corpus vocabulary with counts — the frequency table that seeds
+    * tokenizer training and stopword lists. Deterministic total order
+    * (count desc, then token asc) so the top-k SET is unique. Scale shape:
+    * explode is narrow, the count is ONE hash aggregate with map-side
+    * partials (the explode's output never shuffles raw — only (token,
+    * partial-count) pairs do), and the top-k is TakeOrdered (per-partition
+    * heaps + a k-row driver merge), never a global sort materialization.
+    * At 100 TB the shuffle carries at most |vocab| × partitions rows. */
+  def vocabTopK(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame =
+    documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(k)
 }

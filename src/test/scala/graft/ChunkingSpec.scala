@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.Chunking
+
+/** Training-sequence shaping: sliding-window chunking and token-budget
+  * packing — the invariants the oracle's value compare can't state
+  * (coverage/overlap algebra, partitioning invariance of the distributed
+  * prefix sum). */
+class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("chunking: exact windows, stride overlap, short-doc passthrough") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens, 1 chunk
+      (2L, (1 to 32).map(i => s"w$i").mkString(" ")), // exactly window → 1
+      (3L, (1 to 33).map(i => s"w$i").mkString(" ")), // window+1 → 2 chunks
+      (4L, (1 to 80).map(i => s"w$i").mkString(" "))  // 3 chunks (0,24,48)
+    ).toDF("doc_id", "text")
+    val got = Chunking.withChunks(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("chunk_tokens"), r.getAs[String]("chunk_text")))
+      .sortBy(t => (t._1, t._2))
+    assert(got.count(_._1 == 1L) == 1 && got.count(_._1 == 2L) == 1)
+    assert(got.count(_._1 == 3L) == 2 && got.count(_._1 == 4L) == 3)
+    // chunk k starts at token k*stride+1 and holds min(window, n-k*stride)
+    val c41 = got.filter(_._1 == 4L)
+    assert(c41(0)._4.startsWith("w1 ") && c41(1)._4.startsWith("w25 ")
+      && c41(2)._4.startsWith("w49 "))
+    assert(c41.map(_._3) sameElements Array(32, 32, 32)) // 80-48=32 exactly
+    val c3 = got.filter(_._1 == 3L)
+    assert(c3(1)._3 == 9 && c3(1)._4 == (25 to 33).map(i => s"w$i").mkString(" "))
+    // overlap algebra: consecutive chunks share window-stride=8 tokens
+    val t0 = c41(0)._4.split(" ").takeRight(8).toSeq
+    val t1 = c41(1)._4.split(" ").take(8).toSeq
+    assert(t0 == t1)
+  }
+
+  test("chunking covers every token exactly (reassembly identity)") {
+    import spark.implicits._
+    val text = (1 to 101).map(i => s"t$i").mkString(" ")
+    val d = Seq((9L, text)).toDF("doc_id", "text")
+    val chunks = Chunking.withChunks(d, stride = 32, window = 32) // no overlap
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_text"))
+    assert(chunks.mkString(" ") == text) // stride==window → exact partition
+  }
+
+  test("packing: distributed prefix sum == single-partition window, any partitioning") {
+    import spark.implicits._
+    val d = (1L to 500L).map(i => (i, (i % 37) + 1)).toDF("doc_id", "tokens")
+    val expected = d
+      .withColumn("seq_start",
+        coalesce(sum("tokens").over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", floor(col("seq_start") / 64L))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    for (p <- Seq(1, 3, 7, 32)) {
+      val got = Chunking.withPackIds(d, blockSize = 64L, partitions = p)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      assert(got sameElements expected, s"partitions=$p diverged from window oracle")
+    }
+  }
+
+  test("packing survives a downstream coalesce(1) (task id != partition id)") {
+    import spark.implicits._
+    // regression: Dataset.mapPartitions + TaskContext.getPartitionId seeded
+    // every range partition from offsets(0) when a single-file write's
+    // coalesce(1) packed all partitions into one task (Verify's exact shape)
+    val d = (1L to 200L).map(i => (i, 5L)).toDF("doc_id", "tokens")
+    val got = Chunking.withPackIds(d, blockSize = 100L, partitions = 8)
+      .coalesce(1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == (0L until 200L).map(_ * 5L)) // global, not per-partition
+  }
+
+  test("packing: whale doc spills into later blocks; starts stay monotone") {
+    import spark.implicits._
+    val d = Seq((1L, 10L), (2L, 1000L), (3L, 10L), (4L, 10L)).toDF("doc_id", "tokens")
+    val rows = Chunking.withPackIds(d, blockSize = 256L, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(0L, 10L, 1010L, 1020L)) // starts
+    assert(rows.map(_._3).toSeq == Seq(0L, 0L, 3L, 3L)) // whale pushes 3,4 to block 3
+  }
+}

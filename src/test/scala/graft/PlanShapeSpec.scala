@@ -74,6 +74,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t10_decontaminate"     -> 3, // contam distinct + per-doc countDistinct + left join (contam side broadcasts)
     "t11_decontaminate_external" -> 3, // same chain as t10 over an external held-out frame
     "t12_novelty"           -> 2, // corpus trigram count agg + per-doc hits agg (common side broadcasts)
+    "t14_vocab_topk"        -> 1, // ONE count agg (map-side partials); top-k is TakeOrdered, not a sort shuffle
+    // t13_chunk is map-only (0). c1_pack_sequences ALSO shows 0 here: its
+    // range shuffle + offset collect run eagerly inside the query fn and
+    // the returned frame scans the resulting RDD — the visible plan is the
+    // narrow running-sum pass (the intended shape: ONE exchange total,
+    // spent before this plan starts).
     "d8_repeated_ngrams"    -> 2, // shared-hash count agg + ONE fused per-doc agg (totals + shared counts together; hash-only shuffles)
     "q2_join_agg"           -> 1, // dims broadcast; one agg exchange
     "q3_window_first_event" -> 1,
