@@ -428,6 +428,11 @@ object SparkEntry {
       // range shuffle + partition-offset broadcast (distributed scan),
       // never a single-partition window; pack id = seq_start / 256
       Chunking.packSequences(s, dir)),
+    "c2_pack_blocks" -> ((s, dir) =>
+      // materialized 256-token training blocks: offsets join back to the
+      // docs, narrow explode to (globalPos, token), ONE block-id shuffle
+      // with per-group state bounded by the block size
+      Chunking.packedBlocks(s, dir)),
 
     // ---- deterministic sampling (restart-stable corpus downsampling) ------
     "s1_stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -1398,6 +1403,22 @@ object SparkEntry {
         |  CAST(cum - tokens AS BIGINT) AS seq_start,
         |  CAST((cum - tokens) // 256 AS BIGINT) AS pack_id
         |FROM c""".stripMargin,
+    // c2: the same blocks rebuilt from a whole-corpus string_agg — valid
+    // at oracle SF only, which is exactly the distributed shape's point
+    "c2_pack_blocks" ->
+      """WITH s AS (
+        |  SELECT string_agg(text, ' ' ORDER BY doc_id) AS all_text
+        |  FROM documents),
+        |t AS (SELECT regexp_split_to_array(all_text, ' ') AS toks FROM s),
+        |b AS (SELECT toks, len(toks) AS n,
+        |        (len(toks) - 1) // 256 AS max_b FROM t),
+        |u AS (SELECT toks, n,
+        |        unnest(generate_series(0, max_b)) AS block_id FROM b)
+        |SELECT CAST(block_id AS BIGINT) AS block_id,
+        |  CAST(LEAST(256, n - block_id * 256) AS INTEGER) AS n_tokens,
+        |  array_to_string(toks[block_id * 256 + 1 : block_id * 256 + 256], ' ')
+        |    AS block_text
+        |FROM u""".stripMargin,
     "t5_fingerprint" ->
       """WITH cps AS (
         |  SELECT doc_id,

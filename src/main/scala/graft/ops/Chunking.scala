@@ -89,12 +89,18 @@ object Chunking {
     */
   def withPackIds(d: DataFrame, idCol: String = "doc_id",
       tokensCol: String = "tokens", blockSize: Long = 256L,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32, cacheRanged: Boolean = true): DataFrame = {
     require(blockSize > 0, s"blockSize must be positive, got $blockSize")
     val spark = d.sparkSession
-    val ranged = Dedup.swapCache("pack_ranged",
-      d.withColumn(tokensCol, col(tokensCol).cast(LongType))
-        .repartitionByRange(partitions, col(idCol).asc))
+    // cacheRanged: both passes read the range-shuffled frame; caching it
+    // (MEMORY_AND_DISK) shuffles once but holds a corpus-sized copy —
+    // at 100 TB set false to recompute instead (two shuffles, zero cache;
+    // safe because RangePartitioner's sampling is deterministic for the
+    // same input + partition count, so both passes see identical pids)
+    val shuffled = d.withColumn(tokensCol, col(tokensCol).cast(LongType))
+      .repartitionByRange(partitions, col(idCol).asc)
+    val ranged =
+      if (cacheRanged) Dedup.swapCache("pack_ranged", shuffled) else shuffled
     // pass 1: per-partition totals (≤ `partitions` rows to the driver)
     val partSums = ranged
       .groupBy(spark_partition_id().as("_pid"))
@@ -131,4 +137,36 @@ object Chunking {
       documents(spark, sfDir).select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("tokens")))
       .select(col("doc_id"), col("tokens"), col("seq_start"), col("pack_id"))
+
+  // ---- c2: materialized training blocks -----------------------------------
+
+  /** The consumer of c1's offsets: materialize the fixed-length blocks
+    * themselves — every token of the concatenated corpus lands in block
+    * floor(globalPos / blockSize), block text is the tokens in global
+    * order (the "concatenate-and-slice" batch a pretraining loader
+    * reads). The last block is short rather than padded.
+    *
+    * Scale shape: one equi-join of the offsets frame back to the docs on
+    * the id (both sides corpus-sized → sort-merge join), a narrow
+    * posexplode to (globalPos, token) pairs, then ONE shuffle keyed by
+    * block id whose per-group state is bounded by blockSize tokens —
+    * never a whole-corpus collect or a single-partition window. The
+    * oracle rebuilds the same blocks from a string_agg of the whole
+    * corpus (fine at oracle SF, impossible at prod SF — which is the
+    * point of the distributed shape). */
+  def packedBlocks(spark: SparkSession, sfDir: String,
+      blockSize: Long = 256L): DataFrame = {
+    val offsets = packSequences(spark, sfDir).select(col("doc_id"), col("seq_start"))
+    val toks = documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    offsets.join(toks, Seq("doc_id"))
+      .select(col("seq_start"), posexplode(col("toks")).as(Seq("i", "tok")))
+      .withColumn("pos", col("seq_start") + col("i"))
+      .groupBy(floor(col("pos") / blockSize).as("block_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        array_join(
+          sort_array(collect_list(struct(col("pos"), col("tok")))).getField("tok"),
+          " ").as("block_text"))
+  }
 }

@@ -91,6 +91,37 @@ class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).toSeq == (0L until 200L).map(_ * 5L)) // global, not per-partition
   }
 
+  test("packing without the ranged cache gives identical results") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (i, (i % 13) + 1)).toDF("doc_id", "tokens")
+    val cached = Chunking.withPackIds(d, blockSize = 50L, partitions = 5)
+      .collect().map(_.toString).sorted
+    val recomputed = Chunking.withPackIds(d, blockSize = 50L, partitions = 5,
+      cacheRanged = false).collect().map(_.toString).sorted
+    assert(cached sameElements recomputed)
+  }
+
+  test("packed blocks: reassembly identity and exact block sizing") {
+    import spark.implicits._
+    // 3 docs × uneven lengths; blocks of 8 tokens must tile the global
+    // concatenation exactly, last block short
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 11).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 4).map(i => s"c$i").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("packblk").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val blocks = Chunking.packedBlocks(spark, dir, blockSize = 8L)
+      .orderBy("block_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val allToks = docs.sortBy(_._1).flatMap(_._2.split(" "))
+    assert(blocks.map(_._2).sum == allToks.length) // every token exactly once
+    assert(blocks.flatMap(_._3.split(" ")).toSeq == allToks.toSeq) // order kept
+    assert(blocks.dropRight(1).forall(_._2 == 8)) // full blocks exact
+    assert(blocks.last._2 == allToks.length % 8)
+  }
+
   test("packing: whale doc spills into later blocks; starts stay monotone") {
     import spark.implicits._
     val d = Seq((1L, 10L), (2L, 1000L), (3L, 10L), (4L, 10L)).toDF("doc_id", "tokens")
