@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.RangePartitioner
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -22,6 +23,11 @@ object Chunking {
   private def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** Scratch-column name not colliding with the frame's columns. */
+  private def fresh(base: String, taken: Array[String]): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !taken.contains(n)).get
+
   // ---- t13: sliding-window chunking ---------------------------------------
 
   /** Explode `textCol` into windows of `window` whitespace tokens advancing
@@ -40,20 +46,24 @@ object Chunking {
       window: Int = 32, stride: Int = 24): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
+    val clash = d.columns.toSet.intersect(Set("chunk_idx", "chunk_tokens", "chunk_text"))
+    require(clash.isEmpty, s"input already has output column(s) $clash — rename them first")
+    val toksCol = fresh("_toks", d.columns)
+    val nCol = fresh("_n", d.columns)
     val toks = split(col(textCol), " ")
     val n = size(toks)
     // ceil((n-window)/stride)+1 via integer arithmetic; 1 when n <= window
     val nChunks = when(n <= window, lit(1))
       .otherwise(floor((n - window + (stride - 1)) / stride).cast("int") + 1)
-    d.withColumn("_toks", toks)
-      .withColumn("_n", n)
+    d.withColumn(toksCol, toks)
+      .withColumn(nCol, n)
       .select(col("*"),
         posexplode(transform(sequence(lit(0), nChunks - 1),
-          k => array_join(slice(col("_toks"), k * stride + 1, lit(window)), " ")))
+          k => array_join(slice(col(toksCol), k * stride + 1, lit(window)), " ")))
           .as(Seq("chunk_idx", "chunk_text")))
       .withColumn("chunk_tokens",
-        least(lit(window), col("_n") - col("chunk_idx") * stride))
-      .drop("_toks", "_n")
+        least(lit(window), col(nCol) - col("chunk_idx") * stride))
+      .drop(toksCol, nCol)
   }
 
   /** t13 oracle query: chunk the documents table at window=32 / stride=24
@@ -73,57 +83,70 @@ object Chunking {
     * each doc STARTS).
     *
     * The global prefix sum is computed distributed:
-    *   1. ONE range shuffle on `idCol` (partition p holds ids below
-    *      partition p+1's — Spark's RangePartitioner contract);
+    *   1. ONE range shuffle on `idCol` over a `RangePartitioner`
+    *      constructed ONCE driver-side — its bounds are then immutable,
+    *      so the two passes below CANNOT disagree on row placement.
+    *      (Dataset `repartitionByRange` would NOT give that guarantee:
+    *      its per-execution reservoir sample is seeded with the physical
+    *      plan's rdd.id, so two executions of the same plan may pick
+    *      different bounds — with big partitions the offsets would then
+    *      belong to a different partitioning than the rows they seed.)
     *   2. per-partition token totals → driver (bounded by PARTITION COUNT,
     *      never data size) → exclusive prefix offsets, broadcast;
     *   3. a narrow per-partition running sum seeded with the partition's
-    *      offset (sortWithinPartitions + mapPartitions).
-    * No single-partition window anywhere — the classic distributed scan
-    * (Blelloch two-pass). Result is partitioning-invariant: pack ids
-    * depend only on the global id order, which `idCol` uniqueness pins.
+    *      offset. `mapPartitionsWithIndex`, whose index is the parent
+    *      partition index under any task packing — NOT
+    *      `TaskContext.getPartitionId`, which is the TASK id and lies
+    *      under a downstream coalesce(1).
+    * Both jobs read the SAME shuffle output (stage reuse), so the map
+    * side runs once; no corpus-sized cache is ever held.
     *
-    * `idCol` must be globally unique (it defines the corpus order);
-    * `tokensCol` must be non-negative. Output appends `seq_start` and
-    * `pack_id` (both long).
+    * `idCol` must be globally unique, non-null, and naturally ordered
+    * (its values are compared as Comparable — strings, numbers,
+    * timestamps all qualify); `tokensCol` must be non-negative and
+    * non-null (validated, with the offending id in the error). Output
+    * appends `seq_start` and `pack_id` (both long).
     */
   def withPackIds(d: DataFrame, idCol: String = "doc_id",
       tokensCol: String = "tokens", blockSize: Long = 256L,
-      partitions: Int = 32, cacheRanged: Boolean = true): DataFrame = {
+      partitions: Int = 32): DataFrame = {
     require(blockSize > 0, s"blockSize must be positive, got $blockSize")
     val spark = d.sparkSession
-    // cacheRanged: both passes read the range-shuffled frame; caching it
-    // (MEMORY_AND_DISK) shuffles once but holds a corpus-sized copy —
-    // at 100 TB set false to recompute instead (two shuffles, zero cache;
-    // safe because RangePartitioner's sampling is deterministic for the
-    // same input + partition count, so both passes see identical pids)
-    val shuffled = d.withColumn(tokensCol, col(tokensCol).cast(LongType))
-      .repartitionByRange(partitions, col(idCol).asc)
-    val ranged =
-      if (cacheRanged) Dedup.swapCache("pack_ranged", shuffled) else shuffled
+    val prepared = d.withColumn(tokensCol, col(tokensCol).cast(LongType))
+    val schema = prepared.schema
+    val idIdx = schema.fieldIndex(idCol)
+    val tokIdx = schema.fieldIndex(tokensCol)
+    def tokensOf(r: Row): Long = {
+      require(!r.isNullAt(tokIdx),
+        s"null $tokensCol at $idCol=${r.get(idIdx)} — packing needs a count for every row")
+      val t = r.getLong(tokIdx)
+      require(t >= 0, s"negative $tokensCol=$t at $idCol=${r.get(idIdx)}")
+      t
+    }
+    implicit val ordAny: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = {
+        require(a != null && b != null, s"null $idCol — packing order needs non-null ids")
+        a.asInstanceOf[Comparable[Any]].compareTo(b)
+      }
+    }
+    val keyed = prepared.rdd.map(r => (r.get(idIdx), r))
+    // bounds sampled ONCE, here, on the driver; immutable afterwards
+    val part = new RangePartitioner(math.max(1, partitions), keyed)
+    val ranged = keyed.repartitionAndSortWithinPartitions(part)
     // pass 1: per-partition totals (≤ `partitions` rows to the driver)
-    val partSums = ranged
-      .groupBy(spark_partition_id().as("_pid"))
-      .agg(sum(col(tokensCol)).as("_tot"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Int, Long] = // exclusive prefix sum over present pids
+    val partSums = ranged.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach { case (_, r) => s += tokensOf(r) }; Iterator((pid, s))
+    }.collect().sortBy(_._1)
+    val offsets: Map[Int, Long] = // exclusive prefix sum (every pid present)
       partSums.map(_._1).zip(partSums.scanLeft(0L)(_ + _._2)).toMap
     val bc = spark.sparkContext.broadcast(offsets)
-    // pass 2: narrow running sum, id order within each range partition.
-    // mapPartitionsWithIndex at the RDD level, NOT Dataset.mapPartitions +
-    // TaskContext.getPartitionId(): the task id is not the partition id —
-    // a downstream coalesce(1) (e.g. a single-file write) packs many range
-    // partitions into one task, and every one would seed from offsets(0).
-    // The RDD index is the parent partition index under any task packing.
-    val sorted = ranged.sortWithinPartitions(col(idCol).asc)
-    val tokIdx = sorted.schema.fieldIndex(tokensCol)
-    val outSchema = sorted.schema.add("seq_start", LongType)
-      .add("pack_id", LongType)
-    val packed = sorted.rdd.mapPartitionsWithIndex({ (pid, it) =>
+    val outSchema = schema.add("seq_start", LongType).add("pack_id", LongType)
+    // pass 2: narrow running sum, id order within each range partition
+    val packed = ranged.mapPartitionsWithIndex({ (pid, it) =>
       var run = bc.value.getOrElse(pid, 0L)
-      it.map { r =>
+      it.map { case (_, r) =>
         val start = run
-        run += r.getLong(tokIdx)
+        run += tokensOf(r)
         Row.fromSeq(r.toSeq :+ start :+ (start / blockSize))
       }
     }, preservesPartitioning = true)
@@ -146,9 +169,10 @@ object Chunking {
     * order (the "concatenate-and-slice" batch a pretraining loader
     * reads). The last block is short rather than padded.
     *
-    * Scale shape: one equi-join of the offsets frame back to the docs on
-    * the id (both sides corpus-sized → sort-merge join), a narrow
-    * posexplode to (globalPos, token) pairs, then ONE shuffle keyed by
+    * Scale shape: the token arrays ride THROUGH the packing pass
+    * (withPackIds preserves its input columns), so the corpus is scanned
+    * and split exactly once and no join is needed; then a narrow
+    * posexplode to (globalPos, token) pairs and ONE shuffle keyed by
     * block id whose per-group state is bounded by blockSize tokens —
     * never a whole-corpus collect or a single-partition window. The
     * oracle rebuilds the same blocks from a string_agg of the whole
@@ -156,10 +180,10 @@ object Chunking {
     * point of the distributed shape). */
   def packedBlocks(spark: SparkSession, sfDir: String,
       blockSize: Long = 256L): DataFrame = {
-    val offsets = packSequences(spark, sfDir).select(col("doc_id"), col("seq_start"))
-    val toks = documents(spark, sfDir)
+    val d = documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    offsets.join(toks, Seq("doc_id"))
+      .withColumn("tokens", size(col("toks")).cast(LongType))
+    withPackIds(d, "doc_id", "tokens", blockSize)
       .select(col("seq_start"), posexplode(col("toks")).as(Seq("i", "tok")))
       .withColumn("pos", col("seq_start") + col("i"))
       .groupBy(floor(col("pos") / blockSize).as("block_id"))

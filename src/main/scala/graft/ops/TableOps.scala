@@ -56,54 +56,69 @@ object TableOps {
     import spark.implicits._
     ds.mapPartitions { it =>
       val cfg = config.toParserConfig
-      val parser = new SgmlParser(cfg)
+      var parser = new SgmlParser(cfg)
       it.flatMap { doc =>
-        parser.reset()
-        if (doc.spans != null) doc.spans.foreach { s =>
-          if (s.kind != "media" && s.text != null) parser.feed(s.text, s.offset)
+        try cellsOfDoc(parser, doc)
+        catch {
+          case e: Throwable => // poisoned doc → sentinel row, never a failed task
+            parser = new SgmlParser(cfg) // state unknown after throw: replace
+            Vector((doc.doc_id, -1, -1, -1, "error",
+              String.valueOf(e.getMessage).take(200)))
         }
-        val r = parser.finish()
-        val out = Vector.newBuilder[(String, Int, Int, Int, String, String)]
-        var tblIdx = 0
-        def textOf(n: Node): String = n match {
-          case t: Node.Text => t.s
-          case e: Node.Elem => e.children.iterator.map(textOf).mkString
-          case _            => ""
-        }
-        def visit(n: Node): Unit = n match {
-          case e: Node.Elem if e.name == "table" =>
-            val tbl = tblIdx; tblIdx += 1
-            var rowIdx = 0
-            // rows may sit under implied thead/tbody/tfoot wrappers (the
-            // DTD-aware builder can insert omitted-start-tag sections);
-            // descend through wrappers without losing the table context,
-            // but hand NESTED tables back to visit for their own tbl_idx
-            def rows(m: Node): Unit = m match {
-              case tr: Node.Elem if tr.name == "tr" =>
-                var colIdx = 0
-                def cells(c: Node): Unit = c match {
-                  case cell: Node.Elem if cell.name == "td" || cell.name == "th" =>
-                    out += ((doc.doc_id, tbl, rowIdx, colIdx, cell.name, textOf(cell)))
-                    colIdx += 1
-                    cell.children.foreach(visit) // nested tables inside a cell
-                  case e2: Node.Elem if e2.name == "table" => visit(e2)
-                  case e2: Node.Elem => e2.children.foreach(cells)
-                  case _ => ()
-                }
-                tr.children.foreach(cells)
-                rowIdx += 1
-              case e2: Node.Elem if e2.name == "table" => visit(e2)
-              case e2: Node.Elem => e2.children.foreach(rows)
-              case _ => ()
-            }
-            e.children.foreach(rows)
-          case e: Node.Elem => e.children.foreach(visit)
-          case _            => ()
-        }
-        r.content.foreach(visit)
-        out.result()
       }
     }.toDF("doc_id", "tbl_idx", "row_idx", "col_idx", "cell_tag", "cell")
+  }
+
+  private def cellsOfDoc(parser: SgmlParser,
+      doc: Doc): Vector[(String, Int, Int, Int, String, String)] = {
+    parser.reset()
+    if (doc.spans != null) doc.spans.foreach { s =>
+      if (s.kind != "media" && s.text != null) parser.feed(s.text, s.offset)
+    }
+    val r = parser.finish()
+    val out = Vector.newBuilder[(String, Int, Int, Int, String, String)]
+    var tblIdx = 0
+    // descendant text concatenation; an undeclared entity keeps its
+    // source form (the span contract emits it as its own entity span —
+    // in flat cell text the lossless spelling is the reference itself)
+    def textOf(n: Node): String = n match {
+      case t: Node.Text       => t.s
+      case e: Node.Elem       => e.children.iterator.map(textOf).mkString
+      case er: Node.EntityRef => "&" + er.name + ";"
+      case _                  => ""
+    }
+    def visit(n: Node): Unit = n match {
+      case e: Node.Elem if e.name == "table" =>
+        val tbl = tblIdx; tblIdx += 1
+        var rowIdx = 0
+        // rows may sit under implied thead/tbody/tfoot wrappers (the
+        // DTD-aware builder can insert omitted-start-tag sections);
+        // descend through wrappers without losing the table context,
+        // but hand NESTED tables back to visit for their own tbl_idx
+        def rows(m: Node): Unit = m match {
+          case tr: Node.Elem if tr.name == "tr" =>
+            var colIdx = 0
+            def cells(c: Node): Unit = c match {
+              case cell: Node.Elem if cell.name == "td" || cell.name == "th" =>
+                out += ((doc.doc_id, tbl, rowIdx, colIdx, cell.name, textOf(cell)))
+                colIdx += 1
+                cell.children.foreach(visit) // nested tables inside a cell
+              case e2: Node.Elem if e2.name == "table" => visit(e2)
+              case e2: Node.Elem => e2.children.foreach(cells)
+              case _ => ()
+            }
+            tr.children.foreach(cells)
+            rowIdx += 1
+          case e2: Node.Elem if e2.name == "table" => visit(e2)
+          case e2: Node.Elem => e2.children.foreach(rows)
+          case _ => ()
+        }
+        e.children.foreach(rows)
+      case e: Node.Elem => e.children.foreach(visit)
+      case _            => ()
+    }
+    r.content.foreach(visit)
+    out.result()
   }
 
   /** x10 oracle query: cells of the synthetic per-doc table (omitted-end-

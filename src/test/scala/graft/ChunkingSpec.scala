@@ -91,14 +91,44 @@ class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).toSeq == (0L until 200L).map(_ * 5L)) // global, not per-partition
   }
 
-  test("packing without the ranged cache gives identical results") {
+  test("packing is re-execution stable (fixed partitioner bounds, no cache)") {
     import spark.implicits._
+    // the partitioner is constructed once driver-side, so re-collecting the
+    // SAME returned frame (a fresh execution of its plan) and calling the
+    // op again both reproduce identical global offsets — the property that
+    // Dataset repartitionByRange (per-execution sample seeded by rdd.id)
+    // does not guarantee
     val d = (1L to 300L).map(i => (i, (i % 13) + 1)).toDF("doc_id", "tokens")
-    val cached = Chunking.withPackIds(d, blockSize = 50L, partitions = 5)
+    val packed = Chunking.withPackIds(d, blockSize = 50L, partitions = 5)
+    val first = packed.collect().map(_.toString).sorted
+    val second = packed.collect().map(_.toString).sorted // re-execute same plan
+    val again = Chunking.withPackIds(d, blockSize = 50L, partitions = 5)
       .collect().map(_.toString).sorted
-    val recomputed = Chunking.withPackIds(d, blockSize = 50L, partitions = 5,
-      cacheRanged = false).collect().map(_.toString).sorted
-    assert(cached sameElements recomputed)
+    assert(first.sameElements(second) && first.sameElements(again))
+  }
+
+  test("packing rejects null and negative token counts with the offending id") {
+    import spark.implicits._
+    val withNull = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "tokens")
+    val e1 = intercept[Exception] {
+      Chunking.withPackIds(withNull, partitions = 2).collect()
+    }
+    assert(e1.getMessage.contains("null tokens") || e1.getMessage.contains("doc_id=2")
+      || Option(e1.getCause).exists(_.getMessage.contains("doc_id=2")))
+    val withNeg = Seq((1L, 5L), (2L, -3L)).toDF("doc_id", "tokens")
+    val e2 = intercept[Exception] {
+      Chunking.withPackIds(withNeg, partitions = 2).collect()
+    }
+    assert(e2.getMessage.contains("negative") ||
+      Option(e2.getCause).exists(_.getMessage.contains("negative")))
+  }
+
+  test("chunking refuses an input that already has an output column") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c", 9)).toDF("doc_id", "text", "chunk_idx")
+    val e = intercept[IllegalArgumentException](Chunking.withChunks(d))
+    assert(e.getMessage.contains("chunk_idx"))
   }
 
   test("packed blocks: reassembly identity and exact block sizing") {

@@ -60,6 +60,31 @@ class TableOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(outer._5.startsWith("outer")) // descendant text concatenation
   }
 
+  test("undeclared entity in a cell keeps its source spelling") {
+    val got = cellsOf("<table><tr><td>&unknownent;rate</table>")
+    assert(got == Seq((0, 0, 0, "td", "&unknownent;rate")))
+  }
+
+  test("oversized doc degrades gracefully; the next doc in the partition parses clean") {
+    import spark.implicits._
+    // maxDocChars caps the big doc mid-feed (error-logged, not thrown); the
+    // following doc in the SAME partition must still produce its cells —
+    // the cap counter resets per doc, never bleeding across the iterator.
+    // (The Throwable → sentinel-row catch is defense-in-depth mirroring
+    // SgmlExtract.extract's replace-parser pattern — the kernel itself is
+    // fuzz-hardened not to throw.)
+    val ds = Seq(
+      Doc("big", Seq(InSpan("text", "<table><tr><td>waytoolongforthecap</table>", null, 0))), // 42 chars
+      Doc("ok", Seq(InSpan("text", "<table><tr><td>x</table>", null, 0))) // 24 chars
+    ).toDS().coalesce(1)
+    val rows = TableOps.tableCells(ds,
+        SgmlExtract.Config(maxDocChars = 30)) // between the two doc sizes
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(4), r.getString(5)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc("ok").exists(c => c._3 == "td" && c._4 == "x"))
+    assert(!byDoc.get("big").exists(_.exists(_._3 == "td"))) // capped doc yields no cells
+  }
+
   test("corpus wrap: 6 cells per doc, replayable from the doc columns") {
     val sf = "/root/testdata/sf0.001"
     val got = TableOps.tableExtract(spark, sf).collect()
