@@ -441,6 +441,16 @@ object SparkEntry {
       // deterministic train/val/test assignment: hash bucket → cumulative
       // permille ranges, a narrow CASE at the scan (retry/restart-stable)
       Sampling.splitAssign(s, dir)),
+    "s4_temperature_sample" -> ((s, dir) =>
+      // multilingual mixing: keep rates ∝ n^(1/2) per language, integer-
+      // exact (decimal div); one tiny count agg + broadcast rate join,
+      // keep decision is the closed-form bucket hash at the scan
+      Sampling.temperatureSample(s, dir)),
+    "a1_split_leakage" -> ((s, dir) =>
+      // train/test leakage audit: near-dup pairs (d3 machinery) whose
+      // endpoints land in different splits — split membership evaluated
+      // inline on the ids, zero joins beyond pair generation
+      Audit.splitLeakage(s, dir)),
 
     // ---- embedding similarity --------------------------------------------
     "e1_knn_exact" -> ((s, dir) =>
@@ -503,6 +513,16 @@ object SparkEntry {
     SgmlExtract.MarkedPrefix.length + SgmlExtract.MalformedInfix.length
   private val malformedTextSuffix = // markup removed, text content kept
     SgmlExtract.MalformedInfix.replaceAll("<[^>]*>", "")
+
+  // bucket1000 of an id expression, then the default 900/50/50 split CASE —
+  // mirrors Sampling.bucket1000/splitExpr bit-for-bit (s3, s4, a1 reuse it)
+  private def bucketSql(idExpr: String): String =
+    s"(($idExpr % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})" +
+      s" % ${ops.Sampling.HashP} % 1000"
+  private def splitCaseSql(idExpr: String): String =
+    s"""CASE WHEN ${bucketSql(idExpr)} < 900 THEN 'train'
+      |  WHEN ${bucketSql(idExpr)} < 950 THEN 'val'
+      |  ELSE 'test' END""".stripMargin
 
   // Shared CTE chain: word 3-shingles (same as d6) → code-point polynomial
   // shingle hashes → 64-way minhash signature → banded hashes. Mirrors
@@ -1622,14 +1642,47 @@ object SparkEntry {
         |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin,
     "s3_split_assign" ->
       s"""SELECT doc_id,
-        |  ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})
-        |    % ${ops.Sampling.HashP} % 1000 AS bucket,
-        |  CASE WHEN ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})
-        |      % ${ops.Sampling.HashP} % 1000 < 900 THEN 'train'
-        |    WHEN ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})
-        |      % ${ops.Sampling.HashP} % 1000 < 950 THEN 'val'
-        |    ELSE 'test' END AS split
+        |  ${bucketSql("doc_id")} AS bucket,
+        |  ${splitCaseSql("doc_id")} AS split
         |FROM documents""".stripMargin,
+    // s4: stratum weight floor(sqrt(n)) — IEEE sqrt of an exact integer is
+    // correctly rounded, so floor agrees bit-for-bit with Spark; the rate
+    // arithmetic is HUGEINT `//` ≡ Spark DECIMAL(38,0) `div`
+    "s4_temperature_sample" ->
+      s"""WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n_stratum,
+        |    CAST(floor(sqrt(n_stratum)) AS BIGINT) AS w_stratum FROM c),
+        |t AS (SELECT SUM(w_stratum) AS sum_w, SUM(n_stratum) AS n_total FROM w),
+        |r AS (
+        |  SELECT lang, n_stratum, w_stratum,
+        |    LEAST(1000, CAST((CAST(500 AS HUGEINT) * w_stratum * n_total)
+        |      // (CAST(sum_w AS HUGEINT) * n_stratum) AS BIGINT)) AS rate_permille
+        |  FROM w, t)
+        |SELECT d.doc_id, d.lang, r.n_stratum, r.w_stratum, r.rate_permille,
+        |  ${bucketSql("d.doc_id")} AS bucket
+        |FROM documents d JOIN r ON r.lang = d.lang
+        |WHERE ${bucketSql("d.doc_id")} < r.rate_permille""".stripMargin,
+    // a1: the d3 pair machinery verbatim, then the split CASE on both ids
+    "a1_split_leakage" ->
+      s"""WITH ${minhashCtesFrom("documents")},
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |vp AS (
+        |  SELECT id_a, id_b, jaccard FROM (
+        |    SELECT c.id_a, c.id_b,
+        |      ROUND(CASE WHEN len(ga.sh) = 0 AND len(gb.sh) = 0 THEN 1.0
+        |        ELSE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)
+        |             / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) END, 6) AS jaccard
+        |    FROM cand c JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b) t
+        |  WHERE jaccard >= 0.5)
+        |SELECT id_a, ${splitCaseSql("id_a")} AS split_a,
+        |  id_b, ${splitCaseSql("id_b")} AS split_b, jaccard
+        |FROM vp
+        |WHERE ${splitCaseSql("id_a")} <> ${splitCaseSql("id_b")}""".stripMargin,
     "q8_distinct_suppliers" ->
       """SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers,
         | COUNT(*) AS n_lineitems

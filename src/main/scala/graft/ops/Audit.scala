@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-audit compositions — checks a training-data pipeline runs over
+  * its OWN outputs before anything ships to a trainer. The first (and
+  * canonical) one: near-duplicate leakage across the train/val/test
+  * boundary, the audit that catches "the test set is in the training
+  * data" — the same class of contamination t10/t11 guard against
+  * external benchmarks, but internal to the corpus's own split.
+  */
+object Audit {
+
+  /** Near-dup pairs whose endpoints land in DIFFERENT splits — each such
+    * pair is an eval example whose near-twin is trained on.
+    *
+    * Scale shape: rides entirely on the d3 machinery (one signature
+    * pass, one band-bucket shuffle, in-bucket pair explosion behind the
+    * mega-bucket valve); split membership is a pure function of the id
+    * (`Sampling.splitExpr`), evaluated INLINE on both pair endpoints —
+    * zero extra joins and zero extra shuffles on top of pair
+    * generation itself. The output is bounded by the near-dup pair
+    * count, not the corpus.
+    */
+  def splitLeakageOf(d: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5,
+      splits: Seq[(String, Int)] =
+        Seq(("train", 900), ("val", 50), ("test", 50)),
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    Dedup.verifiedPairsOf(d, idCol, textCol, minJaccard, maxBucket)
+      .withColumn("split_a", Sampling.splitExpr(col("id_a"), splits))
+      .withColumn("split_b", Sampling.splitExpr(col("id_b"), splits))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("split_a"), col("id_b"), col("split_b"),
+        col("jaccard"))
+
+  /** a1 oracle query: leaking pairs over the documents table under the
+    * default 900/50/50 split — replayed end-to-end by DuckDB (minhash
+    * bands, Jaccard verification, and the split CASE on both ids). */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame =
+    splitLeakageOf(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+}

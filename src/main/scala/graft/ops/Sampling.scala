@@ -67,21 +67,95 @@ object Sampling {
     * visible). */
   def withSplit(d: DataFrame, idCol: String = "doc_id",
       splits: Seq[(String, Int)] =
-        Seq(("train", 900), ("val", 50), ("test", 50))): DataFrame = {
+        Seq(("train", 900), ("val", 50), ("test", 50))): DataFrame =
+    d.withColumn("split", splitExpr(col(idCol), splits))
+
+  /** The split CASE as a standalone Column — split membership is a pure
+    * function of the id, so consumers that already have ids in hand
+    * (e.g. the leakage audit over near-dup pairs) evaluate it inline
+    * with ZERO extra joins instead of joining an assignment table. */
+  def splitExpr(id: Column,
+      splits: Seq[(String, Int)] =
+        Seq(("train", 900), ("val", 50), ("test", 50))): Column = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
       splits.map(_._2).sum <= 1000,
       s"split permilles must be >= 0 and sum to <= 1000: $splits")
-    val b = bucket1000(col(idCol))
+    val b = bucket1000(id)
     val thresholds = splits.scanLeft(0)(_ + _._2).tail // cumulative uppers
-    val assigned = splits.init.zip(thresholds.init).reverse
+    splits.init.zip(thresholds.init).reverse
       .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), upper)) =>
         when(b < upper, name).otherwise(acc)
       }
-    d.withColumn("split", assigned)
   }
 
   def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
     withSplit(documents(spark, sfDir))
       .select(col("doc_id"), bucket1000(col("doc_id")).as("bucket"),
         col("split"))
+
+  /** Temperature-based stratum rebalancing — the multilingual-mixing op:
+    * keep rates per stratum proportional to n^α with α = 1/2, so rare
+    * strata (languages, sources) are upweighted relative to their natural
+    * share while the expected kept total stays at `targetPermille`‰ of
+    * the corpus. Rates are INTEGER-EXACT: the stratum weight is
+    * floor(sqrt(n)) — IEEE sqrt of an exactly-representable integer is
+    * correctly rounded and sits far outside half-ulp of the next integer
+    * for any n below ~2^40, so Scala and DuckDB agree bit-for-bit — and
+    * the rate arithmetic is BigInt division ≡ HUGEINT `//`, never a
+    * lossy double.
+    *
+    * Scale shape: ONE count agg over the stratum column (map-side
+    * partials), whose result is collected driver-side — bounded by
+    * STRATUM CARDINALITY (languages/sources: tens, not rows — the same
+    * bounded-collect contract as the ANN fit sample); rates become plain
+    * literals and ship back as a broadcast hash join, so the corpus-side
+    * plan is scan + BHJ + codegen'd hash filter with ZERO exchanges
+    * (PlanShapeSpec-pinned). The keep decision is the same closed-form
+    * `bucket1000` filter as every sampler here — restart- and
+    * retry-stable, no RNG.
+    *
+    * Capped at 1000‰: a stratum whose fair share exceeds its size keeps
+    * everything (the cap is where α-sampling meets reality — you cannot
+    * upsample what you do not have; epoch-repeat is the trainer's job). */
+  def withTemperatureRates(d: DataFrame, idCol: String, stratumCol: String,
+      targetPermille: Int = 500): DataFrame = {
+    require(targetPermille >= 0 && targetPermille <= 1000,
+      s"targetPermille must be in [0, 1000], got $targetPermille")
+    val spark = d.sparkSession
+    val stratumField = d.schema(stratumCol)
+    val counts = d.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_stratum"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val w = counts.map { case (_, n) => math.sqrt(n.toDouble).toLong }
+    val sumW = BigInt(w.sum)
+    val nTotal = BigInt(counts.map(_._2).sum)
+    val rateRows = counts.zip(w).map { case ((s, n), ws) =>
+      val rate = // exact: BigInt floor division ≡ DuckDB HUGEINT //
+        if (sumW == 0) 0L
+        else (BigInt(targetPermille) * ws * nTotal / (sumW * n))
+          .min(BigInt(1000)).toLong
+      org.apache.spark.sql.Row(s, n, ws, rate)
+    }
+    val rates = spark.createDataFrame(
+      spark.sparkContext.parallelize(rateRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        stratumField,
+        org.apache.spark.sql.types.StructField("n_stratum",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("w_stratum",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rate_permille",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    d.join(broadcast(rates), Seq(stratumCol))
+      .withColumn("bucket", bucket1000(col(idCol)))
+      .filter(col("bucket") < col("rate_permille"))
+  }
+
+  /** s4 oracle query: temperature-sample the documents table by `lang`
+    * at a 500‰ target — `en` (the majority language) is downsampled
+    * hardest, rare languages keep proportionally more. */
+  def temperatureSample(spark: SparkSession, sfDir: String): DataFrame =
+    withTemperatureRates(documents(spark, sfDir), "doc_id", "lang")
+      .select(col("doc_id"), col("lang"), col("n_stratum"),
+        col("w_stratum"), col("rate_permille"), col("bucket"))
 }

@@ -82,6 +82,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // narrow running-sum pass (the intended shape: ONE exchange total,
     // spent before this plan starts).
     "d8_repeated_ngrams"    -> 2, // shared-hash count agg + ONE fused per-doc agg (totals + shared counts together; hash-only shuffles)
+    "a1_split_leakage"      -> 2, // EXACTLY d3's machinery (band agg + verify join);
+    // split membership is a pure id function evaluated inline — zero extra exchanges
+    // s4_temperature_sample shows 0 here: the stratum-count agg (one
+    // exchange, stratum-cardinality rows) runs eagerly inside the op and
+    // the rates come back as broadcast literals — the visible corpus plan
+    // is scan + BHJ + codegen'd hash filter, exchange-free by design
     "q2_join_agg"           -> 1, // dims broadcast; one agg exchange
     "q3_window_first_event" -> 1,
     "q4_topk_revenue"       -> 1,

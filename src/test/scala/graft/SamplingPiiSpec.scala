@@ -85,4 +85,55 @@ class SamplingPiiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.contains("[EMAIL]") && one.contains("[PHONE]") && one.contains("[IP]"))
     assert(!one.contains("@") && !one.contains("+1-555"))
   }
+
+  test("temperature sampling: rare strata keep more; rates match the closed form") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Sampling.withTemperatureRates(docs, "doc_id", "lang").collect()
+    assert(out.nonEmpty)
+    val rateOf = out.map(r => (r.getString(r.fieldIndex("lang")),
+      (r.getLong(r.fieldIndex("n_stratum")), r.getLong(r.fieldIndex("w_stratum")),
+       r.getLong(r.fieldIndex("rate_permille"))))).toMap
+    // recompute the exact integer formula from the raw counts
+    val counts = docs.groupBy(col("lang")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val w = counts.map { case (l, n) => (l, math.sqrt(n.toDouble).toLong) }
+    val sumW = w.values.sum
+    val nTotal = counts.values.sum
+    counts.foreach { case (l, n) =>
+      val expect = math.min(1000L,
+        (BigInt(500) * w(l) * nTotal / (BigInt(sumW) * n)).toLong)
+      val (gotN, gotW, gotR) = rateOf(l)
+      assert(gotN == n && gotW == w(l) && gotR == expect,
+        s"$l: got ($gotN,$gotW,$gotR) expect ($n,${w(l)},$expect)")
+    }
+    // the POINT of temperature: the rarest language keeps a strictly higher
+    // rate than the most common one (counts are skewed: en dominates)
+    val maxLang = counts.maxBy(_._2)._1
+    val minLang = counts.minBy(_._2)._1
+    assert(rateOf(minLang)._3 > rateOf(maxLang)._3,
+      s"rare $minLang rate ${rateOf(minLang)._3} !> common $maxLang rate ${rateOf(maxLang)._3}")
+    // every kept row passed its own stratum's threshold
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("bucket")) < r.getLong(r.fieldIndex("rate_permille")))
+    }
+  }
+
+  test("split leakage: pairs are real near-dups with endpoints in different splits") {
+    import graft.ops.{Audit, Dedup}
+    val leaks = Audit.splitLeakage(spark, sf).collect()
+    val pairs = Dedup.minhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def splitOf(id: Long): String = {
+      val b = ((id % Sampling.IdM) * Sampling.HashK) % Sampling.HashP % 1000
+      if (b < 900) "train" else if (b < 950) "val" else "test"
+    }
+    leaks.foreach { r =>
+      val (a, sa, b, sb) = (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))
+      assert(pairs.contains((a, b)), s"leak ($a,$b) is not a verified near-dup pair")
+      assert(sa == splitOf(a) && sb == splitOf(b) && sa != sb)
+    }
+    // and the audit finds EVERY cross-split pair, not a subset
+    val expected = pairs.count { case (a, b) => splitOf(a) != splitOf(b) }
+    assert(leaks.length == expected)
+  }
 }
