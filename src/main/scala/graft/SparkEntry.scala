@@ -446,6 +446,11 @@ object SparkEntry {
       // exact (decimal div); one tiny count agg + broadcast rate join,
       // keep decision is the closed-form bucket hash at the scan
       Sampling.temperatureSample(s, dir)),
+    "s5_domain_cap" -> ((s, dir) =>
+      // ≤20 docs per source: exact two-phase per-domain top-k (narrow
+      // k-heaps, ONE candidate shuffle) — never a corpus-wide window
+      // funneling each giant domain through one task
+      Sampling.domainCap(s, dir)),
     "a1_split_leakage" -> ((s, dir) =>
       // train/test leakage audit: near-dup pairs (d3 machinery) whose
       // endpoints land in different splits — split membership evaluated
@@ -1664,6 +1669,15 @@ object SparkEntry {
         |  ${bucketSql("d.doc_id")} AS bucket
         |FROM documents d JOIN r ON r.lang = d.lang
         |WHERE ${bucketSql("d.doc_id")} < r.rate_permille""".stripMargin,
+    // s5: the oracle replays the two-phase heap top-k as the window it is
+    // semantically equivalent to (feasible at oracle SF)
+    "s5_domain_cap" ->
+      s"""SELECT source, doc_id, h, rank FROM (
+        |  SELECT source, doc_id, ${bucketSql("doc_id")} AS h,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ${bucketSql("doc_id")}, doc_id) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 20""".stripMargin,
     // a1: the d3 pair machinery verbatim, then the split CASE on both ids
     "a1_split_leakage" ->
       s"""WITH ${minhashCtesFrom("documents")},

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Deterministic sampling operators — the downsample primitives a 100 TB
   * training-data pipeline needs before anything else runs: cut the corpus
@@ -158,4 +159,86 @@ object Sampling {
     withTemperatureRates(documents(spark, sfDir), "doc_id", "lang")
       .select(col("doc_id"), col("lang"), col("n_stratum"),
         col("w_stratum"), col("rate_permille"), col("bucket"))
+
+  /** Per-domain cap — keep at most `k` docs per domain/source (the
+    * C4 / web-corpus step that stops boilerplate-heavy giant hosts from
+    * dominating the mix). The kept set is EXACT and deterministic: the k
+    * rows with the smallest `bucket1000(id)` hash (ties by id) within
+    * each domain — equivalent to a row_number window, which is how the
+    * oracle replays it.
+    *
+    * Scale shape — deliberately NOT that window: a window partitioned by
+    * domain shuffles the whole corpus and funnels each domain through
+    * one task, and giant domains are precisely the rows this op exists
+    * to tame (the skew bomb). Instead, exact two-phase top-k (the
+    * knnPq heap shape): a narrow per-partition pass keeps a worst-at-
+    * head k-heap PER DOMAIN (combiner-bounded state: domains-in-
+    * partition × k ids), so the ONE shuffle moves at most k × partitions
+    * survivors per domain — candidate rows, never the corpus — and a
+    * sort-within-partition + running counter assigns final ranks. A
+    * domain with a billion pages costs what a domain with k pages costs
+    * after the first pass. Output is (domain, id, h, rank ≤ k); callers
+    * keep full rows with a semi-join on the id (broadcast-able whenever
+    * domains × k is — by construction it is the SMALL side). */
+  def withDomainCap(d: DataFrame, idCol: String = "doc_id",
+      domainCol: String = "source", k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = d.sparkSession
+    val sel = d.select(col(domainCol), col(idCol).cast(LongType).as(idCol))
+      .withColumn("h", bucket1000(col(idCol)))
+    val schema = sel.schema
+    // worst-at-head: the LARGEST (h, id) sits at the head for eviction
+    val worstFirst = new Ordering[(Long, Long)] {
+      def compare(a: (Long, Long), b: (Long, Long)): Int =
+        implicitly[Ordering[(Long, Long)]].compare(b, a)
+    }
+    // phase 1 (narrow): per-partition, per-domain k-heaps
+    val candidates = sel.rdd.mapPartitions { it =>
+      val heaps = new java.util.HashMap[Any,
+        java.util.PriorityQueue[(Long, Long)]]()
+      it.foreach { r =>
+        val dom = r.get(0)
+        val key = (r.getLong(2), r.getLong(1)) // (h, id)
+        var hp = heaps.get(dom)
+        if (hp == null) {
+          hp = new java.util.PriorityQueue[(Long, Long)](k + 1, worstFirst)
+          heaps.put(dom, hp)
+        }
+        if (hp.size < k) hp.add(key)
+        else if (worstFirst.compare(key, hp.peek()) > 0) { // key < head
+          hp.poll(); hp.add(key)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.entrySet().iterator().asScala.flatMap { e =>
+        e.getValue.iterator().asScala
+          .map { case (h, id) => Row(e.getKey, id, h) }
+      }
+    }
+    // phase 2: ONE shuffle of survivors by domain, contiguous after the
+    // within-partition sort; a running counter is the exact rank
+    val ranked = spark.createDataFrame(candidates, schema)
+      .repartition(col(domainCol))
+      .sortWithinPartitions(col(domainCol), col("h"), col(idCol))
+      .rdd.mapPartitions { it =>
+        var curDom: Any = null
+        var rank = 0L
+        var first = true
+        it.flatMap { r =>
+          val dom = r.get(0)
+          if (first || dom != curDom) { curDom = dom; rank = 0L; first = false }
+          rank += 1
+          if (rank <= k) Some(Row(dom, r.getLong(1), r.getLong(2), rank))
+          else None
+        }
+      }
+    spark.createDataFrame(ranked, StructType(schema.fields :+
+      StructField("rank", LongType, nullable = false)))
+  }
+
+  /** s5 oracle query: cap the documents table at 20 docs per source —
+    * replayed by a DuckDB row_number window (feasible at oracle SF;
+    * the distributed shape above is the point at scale). */
+  def domainCap(spark: SparkSession, sfDir: String): DataFrame =
+    withDomainCap(documents(spark, sfDir))
 }

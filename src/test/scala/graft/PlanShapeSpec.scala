@@ -88,6 +88,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exchange, stratum-cardinality rows) runs eagerly inside the op and
     // the rates come back as broadcast literals — the visible corpus plan
     // is scan + BHJ + codegen'd hash filter, exchange-free by design
+    // s5_domain_cap shows 0 here for the c1 reason: its ONE candidate
+    // shuffle (repartition by domain of ≤ k×partitions survivors) lives
+    // in the RDD lineage behind the final ExistingRDD scan
     "q2_join_agg"           -> 1, // dims broadcast; one agg exchange
     "q3_window_first_event" -> 1,
     "q4_topk_revenue"       -> 1,

@@ -136,4 +136,27 @@ class SamplingPiiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = pairs.count { case (a, b) => splitOf(a) != splitOf(b) }
     assert(leaks.length == expected)
   }
+
+  test("domain cap: exact window semantics under any partitioning, whale domain tamed") {
+    import spark.implicits._
+    // 3 domains: a whale (500 rows), a mid (30), a tiny (7 — below k)
+    val rows = (1L to 500L).map(i => (i, "whale")) ++
+      (1001L to 1030L).map(i => (i, "mid")) ++ (2001L to 2007L).map(i => (i, "tiny"))
+    val d = rows.toDF("doc_id", "source").repartition(11) // arbitrary layout
+    val got = Sampling.withDomainCap(d, "doc_id", "source", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: plain window semantics recomputed in memory
+    def h(id: Long) = ((id % Sampling.IdM) * Sampling.HashK) % Sampling.HashP % 1000
+    val expect = rows.groupBy(_._2).flatMap { case (dom, rs) =>
+      rs.map(_._1).sortBy(id => (h(id), id)).take(10).zipWithIndex
+        .map { case (id, i) => (dom, id, h(id), i + 1L) }
+    }.toSet
+    assert(got.toSet == expect)
+    val byDom = got.groupBy(_._1).map { case (k2, v) => (k2, v.length) }
+    assert(byDom == Map("whale" -> 10, "mid" -> 10, "tiny" -> 7))
+    // re-run on a different physical layout → identical kept set
+    val again = Sampling.withDomainCap(d.repartition(3), "doc_id", "source", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == expect)
+  }
 }
