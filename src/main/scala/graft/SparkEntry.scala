@@ -433,6 +433,11 @@ object SparkEntry {
       // docs, narrow explode to (globalPos, token), ONE block-id shuffle
       // with per-group state bounded by the block size
       Chunking.packedBlocks(s, dir)),
+    "c3_interleaved_blocks" -> ((s, dir) =>
+      // multimodal packing: extracted text+media span streams (REAL parse
+      // kernel) flatten to tokens with <|media|> placeholders carrying
+      // refs; same c1 prefix sum + ONE block shuffle as c2
+      Chunking.interleavedBlocks(s, dir)),
 
     // ---- deterministic sampling (restart-stable corpus downsampling) ------
     "s1_stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -1444,6 +1449,37 @@ object SparkEntry {
         |  array_to_string(toks[block_id * 256 + 1 : block_id * 256 + 256], ' ')
         |    AS block_text
         |FROM u""".stripMargin,
+    // c3: per doc the extracted stream is words(text) ++ ['tail'] ++ ONE
+    // media placeholder (x2 pins that parse output), so the oracle
+    // rebuilds it textually; each doc's media token is its stream's LAST
+    // token, at global position start + n - 1
+    "c3_interleaved_blocks" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(text, ' ')) + 2 AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n,
+        |    SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start
+        |  FROM d),
+        |m AS (
+        |  SELECT (start + n - 1) // 256 AS block_id,
+        |    string_agg('${SgmlExtract.AssetPrefix}' || CAST(doc_id AS VARCHAR)
+        |      || '${SgmlExtract.AssetSuffix}', ',' ORDER BY start + n - 1) AS media_refs
+        |  FROM o GROUP BY 1),
+        |s AS (
+        |  SELECT string_agg(text || ' ${SgmlExtract.MarkedTailText} ${ops.Chunking.MediaToken}',
+        |    ' ' ORDER BY doc_id) AS all_text FROM documents),
+        |t AS (SELECT regexp_split_to_array(all_text, ' ') AS toks FROM s),
+        |b AS (SELECT toks, len(toks) AS n, (len(toks) - 1) // 256 AS max_b FROM t),
+        |u AS (SELECT toks, n, unnest(generate_series(0, max_b)) AS block_id FROM b)
+        |SELECT CAST(u.block_id AS BIGINT) AS block_id,
+        |  CAST(LEAST(256, n - u.block_id * 256) AS INTEGER) AS n_tokens,
+        |  array_to_string(toks[u.block_id * 256 + 1 : u.block_id * 256 + 256], ' ')
+        |    AS block_text,
+        |  COALESCE(m.media_refs, '') AS media_refs
+        |FROM u LEFT JOIN m ON m.block_id = u.block_id""".stripMargin,
     "t5_fingerprint" ->
       """WITH cps AS (
         |  SELECT doc_id,

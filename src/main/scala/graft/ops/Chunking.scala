@@ -193,4 +193,60 @@ object Chunking {
           sort_array(collect_list(struct(col("pos"), col("tok")))).getField("tok"),
           " ").as("block_text"))
   }
+
+  // ---- c3: interleaved multimodal training blocks --------------------------
+
+  /** The placeholder token a media span contributes to the text stream —
+    * the multimodal-trainer convention: the token reserves the position,
+    * the aligned ref column says which asset to embed there. */
+  val MediaToken = "<|media|>"
+
+  /** Interleaved multimodal training blocks — the packed batch a
+    * text+image trainer reads: each document's EXTRACTED span sequence
+    * (through the real parse kernel over the marked corpus, media spans
+    * and all) flattens to a token stream where every media span becomes
+    * ONE `<|media|>` placeholder carrying its media_ref; streams
+    * concatenate in id order and slice into `blockSize`-token blocks.
+    * Output per block: the token text AND the ordered refs of the media
+    * placeholders inside it — position-aligned, so the loader knows
+    * which asset goes where.
+    *
+    * Scale shape = c2's exactly (the interleaving rides in the SAME
+    * narrow flatten): parse + span flatten are one narrow pass, offsets
+    * via the c1 distributed prefix sum, then ONE block-id shuffle with
+    * per-group state ≤ blockSize. The media_refs column falls out of the
+    * same sorted collect (collect_list drops the text tokens' null
+    * structs) — no second shuffle, no join against a media table. */
+  def interleavedBlocks(spark: SparkSession, sfDir: String,
+      blockSize: Long = 256L): DataFrame = {
+    import graft.SgmlExtract
+    val extracted = SgmlExtract.extract(
+      SgmlExtract.wrapDocumentsMarked(spark, sfDir),
+      SgmlExtract.Config(dialect = "html4", space = "preserve")).toDF()
+    val d = extracted.select(
+        col("doc_id").cast(LongType).as("doc_id"),
+        flatten(transform(col("spans"), s =>
+          when(s.getField("kind") === "media",
+            array(struct(lit(MediaToken).as("tok"),
+              s.getField("media_ref").as("ref"))))
+          .otherwise(transform(split(s.getField("text"), " "),
+            t => struct(t.as("tok"),
+              lit(null).cast("string").as("ref")))))).as("toks"))
+      .withColumn("tokens", size(col("toks")).cast(LongType))
+    withPackIds(d, "doc_id", "tokens", blockSize)
+      .select(col("seq_start"), posexplode(col("toks")).as(Seq("i", "t")))
+      .select((col("seq_start") + col("i")).as("pos"),
+        col("t.tok").as("tok"), col("t.ref").as("ref"))
+      .groupBy(floor(col("pos") / blockSize).as("block_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        array_join(
+          sort_array(collect_list(struct(col("pos"), col("tok")))).getField("tok"),
+          " ").as("block_text"),
+        array_join(
+          sort_array(collect_list( // null for text tokens → dropped
+            when(col("ref").isNotNull, struct(col("pos"), col("ref")))))
+            .getField("ref"),
+          ",").as("media_refs"))
+  }
 }

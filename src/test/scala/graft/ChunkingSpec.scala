@@ -152,6 +152,31 @@ class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(blocks.last._2 == allToks.length % 8)
   }
 
+  test("interleaved blocks: placeholders align with refs; reassembly identity") {
+    val sf = "/root/testdata/sf0.001"
+    val blocks = Chunking.interleavedBlocks(spark, sf, blockSize = 64L)
+      .orderBy("block_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // expected global stream: per doc words ++ "tail" ++ one placeholder
+    val expected = docs.flatMap { case (_, t) =>
+      t.split(" ").toSeq :+ "tail" :+ Chunking.MediaToken }
+    assert(blocks.map(_._2).sum == expected.length)
+    assert(blocks.flatMap(_._3.split(" ")).toSeq == expected.toSeq)
+    // within EVERY block: #refs == #placeholders, and refs are in doc order
+    blocks.foreach { case (_, _, text, refs) =>
+      val nPh = text.split(" ").count(_ == Chunking.MediaToken)
+      val rs = if (refs.isEmpty) Array.empty[String] else refs.split(",")
+      assert(rs.length == nPh, s"$nPh placeholders but ${rs.length} refs")
+    }
+    // globally, the i-th placeholder carries the i-th doc's asset ref
+    val allRefs = blocks.flatMap(r => if (r._4.isEmpty) Nil else r._4.split(",").toSeq)
+    assert(allRefs.toSeq == docs.map { case (id, _) =>
+      s"${SgmlExtract.AssetPrefix}$id${SgmlExtract.AssetSuffix}" }.toSeq)
+  }
+
   test("packing: whale doc spills into later blocks; starts stay monotone") {
     import spark.implicits._
     val d = Seq((1L, 10L), (2L, 1000L), (3L, 10L), (4L, 10L)).toDF("doc_id", "tokens")
