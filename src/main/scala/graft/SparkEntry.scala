@@ -429,9 +429,9 @@ object SparkEntry {
       // never a single-partition window; pack id = seq_start / 256
       Chunking.packSequences(s, dir)),
     "c2_pack_blocks" -> ((s, dir) =>
-      // materialized 256-token training blocks: offsets join back to the
-      // docs, narrow explode to (globalPos, token), ONE block-id shuffle
-      // with per-group state bounded by the block size
+      // materialized 256-token training blocks: token arrays ride through
+      // the packing pass (no join), narrow explode to (globalPos, token),
+      // ONE block-id shuffle with per-group state bounded by block size
       Chunking.packedBlocks(s, dir)),
     "c3_interleaved_blocks" -> ((s, dir) =>
       // multimodal packing: extracted text+media span streams (REAL parse
@@ -525,10 +525,14 @@ object SparkEntry {
     SgmlExtract.MalformedInfix.replaceAll("<[^>]*>", "")
 
   // bucket1000 of an id expression, then the default 900/50/50 split CASE —
-  // mirrors Sampling.bucket1000/splitExpr bit-for-bit (s3, s4, a1 reuse it)
-  private def bucketSql(idExpr: String): String =
-    s"(($idExpr % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})" +
-      s" % ${ops.Sampling.HashP} % 1000"
+  // mirrors Sampling.bucket1000/splitExpr bit-for-bit for ANY id sign:
+  // SQL % is sign-of-dividend, Spark pmod is non-negative, so each mod is
+  // wrapped pmod-style (+m then %m again; no overflow — see bounds below)
+  private def bucketSql(idExpr: String): String = {
+    val (m, k, p) = (ops.Sampling.IdM, ops.Sampling.HashK, ops.Sampling.HashP)
+    // (id%m+m)%m ≤ m-1 ≈ 1.3e6; ×k ≈ 3.4e15; %p + p < 8.6e9 — all < 2^63
+    s"(((($idExpr % $m) + $m) % $m * $k) % $p + $p) % $p % 1000"
+  }
   private def splitCaseSql(idExpr: String): String =
     s"""CASE WHEN ${bucketSql(idExpr)} < 900 THEN 'train'
       |  WHEN ${bucketSql(idExpr)} < 950 THEN 'val'
@@ -1668,18 +1672,15 @@ object SparkEntry {
         |FROM t""".stripMargin,
     "s1_stratified_sample" ->
       s"""SELECT doc_id, source,
-        |  ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})
-        |    % ${ops.Sampling.HashP} % 1000 AS bucket,
+        |  ${bucketSql("doc_id")} AS bucket,
         |  CAST(100 + (CAST(substr(source, 4) AS BIGINT) % 5) * 200 AS BIGINT)
         |    AS rate_permille
         |FROM documents
-        |WHERE ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})
-        |    % ${ops.Sampling.HashP} % 1000
+        |WHERE ${bucketSql("doc_id")}
         |  < 100 + (CAST(substr(source, 4) AS BIGINT) % 5) * 200""".stripMargin,
     "s2_uniform_sample" ->
       s"""SELECT doc_id,
-        |  ((doc_id % ${ops.Sampling.IdM}) * ${ops.Sampling.HashK})
-        |    % ${ops.Sampling.HashP} % 1000 AS h
+        |  ${bucketSql("doc_id")} AS h
         |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin,
     "s3_split_assign" ->
       s"""SELECT doc_id,

@@ -101,11 +101,18 @@ object Chunking {
     * Both jobs read the SAME shuffle output (stage reuse), so the map
     * side runs once; no corpus-sized cache is ever held.
     *
-    * `idCol` must be globally unique, non-null, and naturally ordered
-    * (its values are compared as Comparable — strings, numbers,
-    * timestamps all qualify); `tokensCol` must be non-negative and
-    * non-null (validated, with the offending id in the error). Output
-    * appends `seq_start` and `pack_id` (both long).
+    * `idCol` must be globally unique, non-null, and naturally ordered —
+    * its values are compared as java.lang.Comparable, so numbers,
+    * strings and timestamps qualify while binary ids do NOT (map them to
+    * a hex string or long first; a non-Comparable id fails the job with
+    * a ClassCastException rather than mis-ordering). NOTE the string
+    * collation: Comparable on String is UTF-16 code-unit order, which
+    * differs from binary UTF-8 (Catalyst UTF8String / DuckDB) order only
+    * when ids mix supplementary-plane characters with U+E000..U+FFFF —
+    * corpus ids here are numeric, and callers with such exotic ids
+    * should pre-map them. `tokensCol` must be non-negative and non-null
+    * (validated, with the offending id in the error). Output appends
+    * `seq_start` and `pack_id` (both long).
     */
   def withPackIds(d: DataFrame, idCol: String = "doc_id",
       tokensCol: String = "tokens", blockSize: Long = 256L,
@@ -130,8 +137,14 @@ object Chunking {
       }
     }
     val keyed = prepared.rdd.map(r => (r.get(idIdx), r))
-    // bounds sampled ONCE, here, on the driver; immutable afterwards
-    val part = new RangePartitioner(math.max(1, partitions), keyed)
+    // bounds sampled ONCE, here, on the driver; immutable afterwards.
+    // Sampling reads a PRUNED ids-only projection, not `keyed`: the
+    // partitioner only needs key split points, and pruning lets Catalyst
+    // drop the expensive upstream columns (for c3 that is the whole parse
+    // kernel) from the sampling job — the heavy map side then runs once,
+    // in the shuffle stage both output jobs share.
+    val idsOnly = prepared.select(col(idCol)).rdd.map(r => (r.get(0), ()))
+    val part = new RangePartitioner(math.max(1, partitions), idsOnly)
     val ranged = keyed.repartitionAndSortWithinPartitions(part)
     // pass 1: per-partition totals (≤ `partitions` rows to the driver)
     val partSums = ranged.mapPartitionsWithIndex { (pid, it) =>
@@ -186,7 +199,9 @@ object Chunking {
     withPackIds(d, "doc_id", "tokens", blockSize)
       .select(col("seq_start"), posexplode(col("toks")).as(Seq("i", "tok")))
       .withColumn("pos", col("seq_start") + col("i"))
-      .groupBy(floor(col("pos") / blockSize).as("block_id"))
+      // `div` (IntegralDivide), not floor(/): long division stays exact
+      // past 2^53 global tokens, matching withPackIds' start/blockSize
+      .groupBy(expr(s"pos div $blockSize").as("block_id"))
       .agg(
         count(lit(1)).cast("int").as("n_tokens"),
         array_join(
@@ -220,15 +235,24 @@ object Chunking {
   def interleavedBlocks(spark: SparkSession, sfDir: String,
       blockSize: Long = 256L): DataFrame = {
     import graft.SgmlExtract
-    val extracted = SgmlExtract.extract(
-      SgmlExtract.wrapDocumentsMarked(spark, sfDir),
-      SgmlExtract.Config(dialect = "html4", space = "preserve")).toDF()
+    // The EXPRESSION form of the kernel, not the typed Dataset path: a
+    // typed map is opaque to Catalyst, so withPackIds' ids-only sampling
+    // projection would still pay the whole parse. As a Project expression
+    // it column-prunes away — the sampling job reads ids off the parquet
+    // scan and the parse runs exactly once, in the shared shuffle stage.
+    graft.functions.ExtractSpansExpr.register(spark)
+    val extracted = SgmlExtract.wrapDocumentsMarked(spark, sfDir).toDF()
+      .select(col("doc_id"),
+        expr("extract_spans(spans, 'html4', 'preserve').spans").as("spans"))
     val d = extracted.select(
         col("doc_id").cast(LongType).as("doc_id"),
         flatten(transform(col("spans"), s =>
           when(s.getField("kind") === "media",
+            // a media span with a NULL ref still keeps its slot — coalesce
+            // to "" so the ref list cannot silently shift left and embed
+            // every later asset at the wrong placeholder
             array(struct(lit(MediaToken).as("tok"),
-              s.getField("media_ref").as("ref"))))
+              coalesce(s.getField("media_ref"), lit("")).as("ref"))))
           .otherwise(transform(split(s.getField("text"), " "),
             t => struct(t.as("tok"),
               lit(null).cast("string").as("ref")))))).as("toks"))
@@ -237,7 +261,7 @@ object Chunking {
       .select(col("seq_start"), posexplode(col("toks")).as(Seq("i", "t")))
       .select((col("seq_start") + col("i")).as("pos"),
         col("t.tok").as("tok"), col("t.ref").as("ref"))
-      .groupBy(floor(col("pos") / blockSize).as("block_id"))
+      .groupBy(expr(s"pos div $blockSize").as("block_id")) // exact long div
       .agg(
         count(lit(1)).cast("int").as("n_tokens"),
         array_join(

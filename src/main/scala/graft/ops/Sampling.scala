@@ -135,18 +135,15 @@ object Sampling {
         if (sumW == 0) 0L
         else (BigInt(targetPermille) * ws * nTotal / (sumW * n))
           .min(BigInt(1000)).toLong
-      org.apache.spark.sql.Row(s, n, ws, rate)
+      Row(s, n, ws, rate)
     }
     val rates = spark.createDataFrame(
       spark.sparkContext.parallelize(rateRows.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
+      StructType(Seq(
         stratumField,
-        org.apache.spark.sql.types.StructField("n_stratum",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("w_stratum",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("rate_permille",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+        StructField("n_stratum", LongType, nullable = false),
+        StructField("w_stratum", LongType, nullable = false),
+        StructField("rate_permille", LongType, nullable = false))))
     d.join(broadcast(rates), Seq(stratumCol))
       .withColumn("bucket", bucket1000(col(idCol)))
       .filter(col("bucket") < col("rate_permille"))

@@ -75,7 +75,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t11_decontaminate_external" -> 3, // same chain as t10 over an external held-out frame
     "t12_novelty"           -> 2, // corpus trigram count agg + per-doc hits agg (common side broadcasts)
     "t14_vocab_topk"        -> 1, // ONE count agg (map-side partials); top-k is TakeOrdered, not a sort shuffle
-    "c2_pack_blocks"        -> 1, // offsets→docs join broadcasts at test SF (SMJ at scale); the one pinned exchange is the block-id agg with bounded per-group state
+    "c2_pack_blocks"        -> 1, // token arrays ride THROUGH the packing pass (no join); the one pinned exchange is the block-id agg with bounded per-group state
     "c3_interleaved_blocks" -> 1, // same shape as c2: parse+flatten narrow, c1 prefix sum eager, ONE block-id agg exchange
     // t13_chunk is map-only (0). c1_pack_sequences ALSO shows 0 here: its
     // range shuffle + offset collect run eagerly inside the query fn and
