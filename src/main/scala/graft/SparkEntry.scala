@@ -419,6 +419,11 @@ object SparkEntry {
       // context-length shaping: sliding 32-token windows, stride 24 —
       // map-only explode, zero shuffles (the long-doc → training-sample op)
       Chunking.chunkDocs(s, dir)),
+    "t15_bpe_merges" -> ((s, dir) =>
+      // BPE tokenizer training: ONE corpus pass to a word-count table,
+      // then 6 merge rounds over the vocab-sized frame only — O(corpus +
+      // K × vocab), the production trainer shape
+      Bpe.bpeMerges(s, dir)),
     "t14_vocab_topk" -> ((s, dir) =>
       // corpus frequency table (tokenizer/stopword seed): one hash agg
       // with map-side partials + TakeOrdered top-k, total order pinned
@@ -523,6 +528,49 @@ object SparkEntry {
     SgmlExtract.MarkedPrefix.length + SgmlExtract.MalformedInfix.length
   private val malformedTextSuffix = // markup removed, text content kept
     SgmlExtract.MalformedInfix.replaceAll("<[^>]*>", "")
+
+  // t15: K chained merge rounds generated programmatically — each round is
+  // (pair counts over the vocab segmentations) → (argmax, tie-break c DESC
+  // then lhs, rhs ASC) → (the same left-to-right string replace Spark
+  // applies). SUM is cast back to BIGINT (DuckDB SUM(BIGINT) → HUGEINT).
+  private def bpeOracleSql(k: Int): String = {
+    val s0 =
+      """s0 AS MATERIALIZED (
+        |  SELECT word, cnt,
+        |    ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS seg
+        |  FROM (
+        |    SELECT w AS word, COUNT(*) AS cnt FROM (
+        |      SELECT unnest(list_filter(
+        |        regexp_split_to_array(lower(trim(text)), '\s+'),
+        |        x -> x <> '')) AS w
+        |      FROM documents) tw
+        |    GROUP BY w) tc)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      // MATERIALIZED is load-bearing, not a hint to skim past: m$i is
+      // referenced 4× by s$i and s$i by the next round — un-materialized,
+      // DuckDB re-inlines the whole prefix per reference and the chain
+      // re-evaluates ~4^k times (measured: 13 min at sf0.1 vs <1 s with)
+      s"""p$i AS MATERIALIZED (
+        |  SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(toks)),
+        |      j -> {'l': toks[j], 'r': toks[j + 1]})) AS pr
+        |    FROM (SELECT cnt, list_filter(regexp_split_to_array(seg, ' '),
+        |            x -> x <> '') AS toks
+        |          FROM s${i - 1}) tt$i) uu$i
+        |  GROUP BY pr.l, pr.r),
+        |m$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+        |s$i AS MATERIALIZED (
+        |  SELECT word, cnt,
+        |    replace(seg,
+        |      ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+        |      ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS seg
+        |  FROM s${i - 1})""".stripMargin
+    }
+    val union = (1 to k).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS round, l AS lhs, r AS rhs, c AS pair_count FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${(s0 +: rounds).mkString(",\n")}\n$union"
+  }
 
   // bucket1000 of an id expression, then the default 900/50/50 split CASE —
   // mirrors Sampling.bucket1000/splitExpr bit-for-bit for ANY id sign:
@@ -1421,6 +1469,7 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY cnt DESC, word ASC
         |LIMIT 100""".stripMargin,
+    "t15_bpe_merges" -> bpeOracleSql(6),
     // c1: the distributed prefix sum replayed as a plain window cumsum
     // (identical by the packing invariant: pack ids depend only on the
     // global doc_id order, not the partitioning)

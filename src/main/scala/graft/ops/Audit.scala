@@ -28,12 +28,23 @@ object Audit {
       splits: Seq[(String, Int)] =
         Seq(("train", 900), ("val", 50), ("test", 50)),
       maxBucket: Int = Int.MaxValue): DataFrame =
-    Dedup.verifiedPairsOf(d, idCol, textCol, minJaccard, maxBucket)
+    splitLeakageFromPairs(
+      Dedup.verifiedPairsOf(d, idCol, textCol, minJaccard, maxBucket), splits)
+
+  /** The audit over an ALREADY-COMPUTED pair frame (id_a, id_b[, ...]):
+    * a pipeline that has run fuzzy dedup has these pairs in hand, and
+    * re-deriving them is the expensive half — this variant is a pure
+    * narrow filter over the existing frame (zero shuffles, zero scans
+    * of the corpus). Extra columns (jaccard, ...) pass through. */
+  def splitLeakageFromPairs(pairs: DataFrame,
+      splits: Seq[(String, Int)] =
+        Seq(("train", 900), ("val", 50), ("test", 50))): DataFrame =
+    pairs
       .withColumn("split_a", Sampling.splitExpr(col("id_a"), splits))
       .withColumn("split_b", Sampling.splitExpr(col("id_b"), splits))
       .filter(col("split_a") =!= col("split_b"))
-      .select(col("id_a"), col("split_a"), col("id_b"), col("split_b"),
-        col("jaccard"))
+      .select(Seq(col("id_a"), col("split_a"), col("id_b"), col("split_b")) ++
+        pairs.columns.filterNot(Set("id_a", "id_b")).map(col): _*)
 
   /** a1 oracle query: leaking pairs over the documents table under the
     * default 900/50/50 split — replayed end-to-end by DuckDB (minhash

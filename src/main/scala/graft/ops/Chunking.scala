@@ -213,7 +213,12 @@ object Chunking {
 
   /** The placeholder token a media span contributes to the text stream —
     * the multimodal-trainer convention: the token reserves the position,
-    * the aligned ref column says which asset to embed there. */
+    * the aligned ref column says which asset to embed there. NOTE: a
+    * corpus whose TEXT contains this literal string would alias real
+    * tokens with placeholders; production tokenizers reserve a token id
+    * outside the text vocabulary for exactly this reason — treat the
+    * string form here as the pre-tokenizer wire format and filter or
+    * escape colliding text upstream if the corpus can contain it. */
   val MediaToken = "<|media|>"
 
   /** Interleaved multimodal training blocks — the packed batch a

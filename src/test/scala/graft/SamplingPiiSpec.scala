@@ -135,6 +135,13 @@ class SamplingPiiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the audit finds EVERY cross-split pair, not a subset
     val expected = pairs.count { case (a, b) => splitOf(a) != splitOf(b) }
     assert(leaks.length == expected)
+    // the pairs-reusing variant (the cheap production path) agrees exactly
+    import spark.implicits._
+    val reused = Audit.splitLeakageFromPairs(
+        Dedup.minhashPairs(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(reused.toSet ==
+      leaks.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet)
   }
 
   test("domain cap: exact window semantics under any partitioning, whale domain tamed") {
