@@ -92,6 +92,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // s5_domain_cap shows 0 here for the c1 reason: its ONE candidate
     // shuffle (repartition by domain of ≤ k×partitions survivors) lives
     // in the RDD lineage behind the final ExistingRDD scan
+    // t15_bpe_merges shows 0 for the s4 reason: the corpus word-count agg
+    // and the K vocab-sized rounds run eagerly inside the op; the
+    // returned merge table is k literal rows
     "q2_join_agg"           -> 1, // dims broadcast; one agg exchange
     "q3_window_first_event" -> 1,
     "q4_topk_revenue"       -> 1,
