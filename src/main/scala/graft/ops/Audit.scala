@@ -35,16 +35,24 @@ object Audit {
     * a pipeline that has run fuzzy dedup has these pairs in hand, and
     * re-deriving them is the expensive half — this variant is a pure
     * narrow filter over the existing frame (zero shuffles, zero scans
-    * of the corpus). Extra columns (jaccard, ...) pass through. */
+    * of the corpus). Extra columns (jaccard, ...) pass through; a frame
+    * that ALREADY carries split_a/split_b is rejected loudly rather
+    * than silently recomputed over (drop or rename them first). */
   def splitLeakageFromPairs(pairs: DataFrame,
       splits: Seq[(String, Int)] =
-        Seq(("train", 900), ("val", 50), ("test", 50))): DataFrame =
+        Seq(("train", 900), ("val", 50), ("test", 50))): DataFrame = {
+    val clash = pairs.columns.toSet.intersect(Set("split_a", "split_b"))
+    require(clash.isEmpty,
+      s"pair frame already has ${clash.mkString(", ")} — this audit would " +
+        "silently overwrite them with its own split assignment; drop or " +
+        "rename first")
     pairs
       .withColumn("split_a", Sampling.splitExpr(col("id_a"), splits))
       .withColumn("split_b", Sampling.splitExpr(col("id_b"), splits))
       .filter(col("split_a") =!= col("split_b"))
       .select(Seq(col("id_a"), col("split_a"), col("id_b"), col("split_b")) ++
         pairs.columns.filterNot(Set("id_a", "id_b")).map(col): _*)
+  }
 
   /** a1 oracle query: leaking pairs over the documents table under the
     * default 900/50/50 split — replayed end-to-end by DuckDB (minhash

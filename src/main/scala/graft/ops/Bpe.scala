@@ -28,8 +28,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
   * has such a run and real-text runs are rare; a production deployment
   * would swap the list-based merge into the SAME counting/argmax
   * machinery. Ties in pair count break deterministically by
-  * (lhs, rhs) ascending — corpus tokens are ASCII, where Spark's
-  * UTF-16 and DuckDB's binary string orders coincide.
+  * (lhs, rhs) ascending — the argmax is a Catalyst orderBy, which sorts
+  * strings in UTF8String BINARY (UTF-8 byte) order, coinciding with
+  * DuckDB's binary collation for ALL strings, not just ASCII.
   */
 object Bpe {
 
@@ -39,10 +40,15 @@ object Bpe {
   /** Learn the first `k` merge rules over ANY (textCol) frame. Returns
     * the merge table (round, left, right, pair_count) — k rows, or fewer
     * if the pair space exhausts first. The per-round argmax is a
-    * TakeOrdered limit(1) collect (one row to the driver per round); the
-    * evolving segmentation frame is cached per round and the previous
-    * round evicted (the clustersOf hygiene), so round i never replays
-    * rounds 1..i-1 or the corpus scan. */
+    * TakeOrdered limit(1) collect (one row to the driver per round).
+    *
+    * Cache discipline (this loop CHAINS dependent frames, unlike the
+    * swapCache call sites that swap across independent invocations, so
+    * evict-before-persist would mean every round's cache is built, never
+    * hit, and dropped — re-running the corpus scan each round): round
+    * i's collect materializes segs_i FROM segs_{i-1}'s still-live cache;
+    * only then is segs_{i-1} unpersisted. The corpus is scanned exactly
+    * once, by round 1. */
   def mergesOf(d: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0 && k <= 64, s"k must be in [1, 64], got $k")
     val spark = d.sparkSession
@@ -54,7 +60,8 @@ object Bpe {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("seg", concat(lit(" "),
         array_join(expr("regexp_extract_all(word, '.', 0)"), " "), lit(" ")))
-    var segs = Dedup.swapCache("bpe_segs", words0)
+    var segs = words0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var round = 1
     var exhausted = false
@@ -73,15 +80,22 @@ object Bpe {
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
+      // this collect just materialized segs' cache — its parent (prev)
+      // is no longer needed by anything
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Row(round, l, r, c)
-        segs = Dedup.swapCache("bpe_segs", segs.withColumn("seg",
-          replace(col("seg"), lit(s" $l $r "), lit(s" $l$r "))))
+        prev = segs
+        segs = segs.withColumn("seg",
+            replace(col("seg"), lit(s" $l $r "), lit(s" $l$r ")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         round += 1
       }
     }
+    if (prev != null) prev.unpersist()
+    segs.unpersist() // final frame: possibly never materialized; harmless
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq, 1),
       StructType(Seq(

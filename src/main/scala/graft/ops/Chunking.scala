@@ -240,15 +240,16 @@ object Chunking {
   def interleavedBlocks(spark: SparkSession, sfDir: String,
       blockSize: Long = 256L): DataFrame = {
     import graft.SgmlExtract
-    // The EXPRESSION form of the kernel, not the typed Dataset path: a
-    // typed map is opaque to Catalyst, so withPackIds' ids-only sampling
-    // projection would still pay the whole parse. As a Project expression
-    // it column-prunes away — the sampling job reads ids off the parquet
-    // scan and the parse runs exactly once, in the shared shuffle stage.
-    graft.functions.ExtractSpansExpr.register(spark)
-    val extracted = SgmlExtract.wrapDocumentsMarked(spark, sfDir).toDF()
-      .select(col("doc_id"),
-        expr("extract_spans(spans, 'html4', 'preserve').spans").as("spans"))
+    // The EXPRESSION form of the kernel (extractDf), not the typed
+    // Dataset path: a typed map is opaque to Catalyst, so withPackIds'
+    // ids-only sampling projection would still pay the whole parse. As a
+    // Project expression it column-prunes away — the sampling job reads
+    // ids off the parquet scan and the parse runs exactly once, in the
+    // shared shuffle stage. (The unused errors column prunes for free.)
+    val extracted = SgmlExtract.extractDf(
+        SgmlExtract.wrapDocumentsMarked(spark, sfDir).toDF(),
+        SgmlExtract.Config(dialect = "html4", space = "preserve"))
+      .select(col("doc_id"), col("spans"))
     val d = extracted.select(
         col("doc_id").cast(LongType).as("doc_id"),
         flatten(transform(col("spans"), s =>
